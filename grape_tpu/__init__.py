@@ -1,0 +1,39 @@
+"""grape_tpu — a TPU-native GRAPE quantum-optimal-control framework.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of GRAPE.jl
+(JuliaQuantumControl; reference at /root/reference, structural analysis in
+SURVEY.md): piecewise-constant pulse optimization over Schrödinger/Liouville
+dynamics for arbitrary final-time functionals plus pulse- and state-dependent
+running costs, exact per-time-step gradients (augmented-matrix Fréchet or
+Taylor recursion), semi-automatic differentiation of functionals via
+``jax.grad``, and a host-side L-BFGS-B optimizer with box constraints.
+
+Public API (reference ``src/GRAPE.jl:13-17`` / ``docs/src/api.md``):
+``optimize``, ``GrapeResult``, ``Trajectory``, plus the problem/model builders
+and functionals library.
+"""
+
+from .amplitudes import ShapedAmplitude
+from .controls import discretize, discretize_on_midpoints, get_controls
+from .generators import Generator, hamiltonian, liouvillian
+from .io import load_optimization, load_result, optimize_or_load, save_result
+from .optimize import optimize, optimize_problem
+from .result import GrapeResult
+from .trajectory import ControlProblem, Trajectory
+from .workspace import (
+    GrapeWrk, gradient, norm_search, pulse_update, search_direction,
+    step_width, vec_angle,
+)
+from . import functionals, shapes
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "optimize", "optimize_problem", "GrapeResult", "Trajectory",
+    "ControlProblem", "hamiltonian", "liouvillian", "Generator",
+    "ShapedAmplitude", "discretize", "discretize_on_midpoints",
+    "get_controls", "functionals", "shapes",
+    "save_result", "load_result", "optimize_or_load", "load_optimization",
+    "GrapeWrk", "step_width", "search_direction", "norm_search", "gradient",
+    "pulse_update", "vec_angle",
+]

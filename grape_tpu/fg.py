@@ -1,0 +1,425 @@
+"""The jitted GRAPE function-and-gradient device program.
+
+This is the TPU-native re-design of the reference's hot path
+(``evaluate_functional`` at ``/root/reference/src/optimize.jl:665-768`` and
+``evaluate_gradient!`` at ``src/optimize.jl:824-1014``).  Where the reference
+runs per-trajectory propagator objects under a thread loop, here the whole
+function-and-gradient evaluation is ONE jitted program:
+
+- forward: ``lax.scan`` over the ``N_T`` time steps, each step a batched
+  ``expm(-i H_kn dt_n) @ Ψ_k`` over all ``K`` trajectories (MXU batched
+  matmuls), storing every intermediate state (the reference's ``fw_storage``);
+- co-states: ``χ_k(T) = -∂J_T/∂⟨Ψ_k(T)|`` by analytic formula or ``jax.grad``
+  semi-AD, plus the ``λ_b (dt/2) ξ`` boundary term for state running costs;
+- backward: ``lax.scan`` down the time axis, per step either the batched
+  augmented-expm Fréchet kernel (``gradient_method="gradgen"``) or the Taylor
+  recursion (``"taylor"``), accumulating
+  ``∇τ_{knl} = ρ_k ⟨χ'_{kl}(t_{n-1})|Ψ_k(t_{n-1})⟩`` and injecting the
+  inhomogeneity ``λ_b Δt ξ/ρ_k`` (``src/optimize.jl:897-908``);
+- assembly: ``(∇J_Tb)_{nl} = -2 Re Σ_k ∇τ_{knl}`` (``src/optimize.jl:574-584``)
+  plus ``λ_a ∇J_a``.
+
+The trajectory axis ``K`` is a plain batch axis throughout, so the same
+program shards over a device mesh by sharding ``K`` (see
+``grape_tpu.parallel``); the cross-trajectory sums then lower to ``psum``
+collectives.
+"""
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .config import complex_dtype, real_dtype
+from .controls import discretize_on_midpoints, get_controls
+from .functionals import accepts_tau, make_chi, make_grad_J_a, make_xi, taus
+from .ops.expm import expm
+from .ops.frechet import gradgen_step, taylor_grad_step
+
+__all__ = ["CompiledProblem", "compile_problem", "build_fg", "build_f"]
+
+
+@dataclass
+class CompiledProblem:
+    """Static arrays + closures defining one GRAPE problem on device.
+
+    The reference's ``GrapeWrk`` holds mutable propagators and storage
+    (``src/workspace.jl:78-362``); here everything static is baked into
+    arrays once, and the per-evaluation state is purely functional.
+    """
+
+    psi0: Any          # (K, d) complex
+    H0: Any            # (K, d, d) complex
+    ops: Any           # (K, T, d, d) complex control-term operators
+    M: Any             # (N_T, T, L) real: coeffs_n = M[n] @ eps_n
+    tlist: Any         # (N_T+1,) real
+    trajectories: list
+    controls: tuple
+    guess_pulsevals: Any   # (L, N_T) float64 numpy
+    n_controls: int
+    n_timesteps: int
+    dim: int
+    n_traj: int
+    J_T: Callable = None
+    chi: Callable = None
+    J_a: Callable = None
+    grad_J_a: Callable = None
+    lambda_a: float = 1.0
+    g_b: Callable = None
+    xi: Callable = None
+    lambda_b: float = 1.0
+    gradient_method: str = "gradgen"
+    taylor_grad_max_order: int = 100
+    taylor_grad_tolerance: float = 1e-16
+    taylor_grad_check_convergence: bool = True
+    chi_min_norm: float = 1e-100
+    J_T_takes_tau: bool = False
+    chi_takes_tau: bool = False
+    has_targets: bool = False
+    prop_method: Any = None
+
+    @property
+    def dt(self):
+        return jnp.diff(self.tlist)
+
+
+def compile_problem(
+    trajectories,
+    tlist,
+    *,
+    J_T,
+    chi=None,
+    J_a=None,
+    grad_J_a=None,
+    lambda_a=1.0,
+    g_b=None,
+    xi=None,
+    lambda_b=1.0,
+    gradient_method="gradgen",
+    taylor_grad_max_order=100,
+    taylor_grad_tolerance=1e-16,
+    taylor_grad_check_convergence=True,
+    chi_min_norm=1e-100,
+    dtype=None,
+    prop_method=None,
+    **_ignored,
+):
+    """Compile trajectories + tlist into a :class:`CompiledProblem`.
+
+    Mirrors the workspace construction at
+    ``/root/reference/src/workspace.jl:147-362``: extract the distinct
+    controls, discretize them on the interval midpoints into the guess pulse
+    vector, stack all trajectory data along the batch axis, and build the
+    static per-interval coefficient tensor ``M``.
+    """
+    trajectories = list(trajectories)
+    tlist = np.asarray(tlist, dtype=np.float64)
+    N_T = len(tlist) - 1
+    K = len(trajectories)
+    if K == 0:
+        raise ValueError("no trajectories")
+
+    generators = [t.generator for t in trajectories]
+    controls = get_controls(generators)
+    L = len(controls)
+    if L == 0:
+        raise ValueError(
+            "no controls in trajectories: nothing to optimize"
+        )
+    guess = np.stack(
+        [discretize_on_midpoints(c, tlist) for c in controls]
+    )  # (L, N_T)
+
+    cdtype = complex_dtype(dtype) if dtype is not None else complex_dtype(
+        jnp.result_type(float)
+    )
+
+    # All generators must share the same term structure (vmap constraint of
+    # the batched design; heterogeneous structures can be padded with zero
+    # operators).
+    n_terms = len(generators[0].terms)
+    dim = generators[0].dim
+    for g in generators:
+        if len(g.terms) != n_terms or g.dim != dim:
+            raise ValueError(
+                "all trajectories must share generator structure "
+                "(same number of control terms and dimension)"
+            )
+
+    H0 = np.stack([g.drift for g in generators]).astype(cdtype)
+    if n_terms > 0:
+        ops = np.stack(
+            [np.stack([op for (op, _) in g.terms]) for g in generators]
+        ).astype(cdtype)  # (K, T, d, d)
+    else:
+        ops = np.zeros((K, 0, dim, dim), dtype=cdtype)
+
+    # Coefficient tensor M (N_T, T, L): term j couples to control l_j with
+    # per-interval weight shape_j[n].
+    M = np.zeros((N_T, n_terms, L), dtype=np.float64)
+    g0 = generators[0]
+    shapes = g0.term_shapes(tlist)
+    ctl_idx = g0.term_control_indices(controls)
+    for j in range(n_terms):
+        M[:, j, ctl_idx[j]] = shapes[j]
+    # check structural agreement across trajectories
+    for g in generators[1:]:
+        if g.term_control_indices(controls) != ctl_idx:
+            raise ValueError(
+                "all trajectories must couple terms to the same controls"
+            )
+
+    psi0 = np.stack([t.initial_state for t in trajectories]).astype(cdtype)
+    has_targets = all(t.target_state is not None for t in trajectories)
+
+    if chi is None:
+        chi = make_chi(J_T, trajectories)
+    if J_a is not None and grad_J_a is None:
+        grad_J_a = make_grad_J_a(J_a, tlist)
+    if g_b is not None and xi is None:
+        xi = make_xi(g_b, trajectories)
+    if g_b is None and xi is not None:
+        import warnings
+        warnings.warn("`xi` without `g_b` is ignored")
+        xi = None
+
+    rdtype = real_dtype(cdtype)
+    return CompiledProblem(
+        psi0=jnp.asarray(psi0),
+        H0=jnp.asarray(H0),
+        ops=jnp.asarray(ops),
+        M=jnp.asarray(M, dtype=rdtype),
+        tlist=jnp.asarray(tlist, dtype=rdtype),
+        trajectories=trajectories,
+        controls=controls,
+        guess_pulsevals=guess,
+        n_controls=L,
+        n_timesteps=N_T,
+        dim=dim,
+        n_traj=K,
+        J_T=J_T,
+        chi=chi,
+        J_a=J_a,
+        grad_J_a=grad_J_a,
+        lambda_a=float(lambda_a),
+        g_b=g_b,
+        xi=xi,
+        lambda_b=float(lambda_b),
+        gradient_method=gradient_method,
+        taylor_grad_max_order=int(taylor_grad_max_order),
+        taylor_grad_tolerance=float(taylor_grad_tolerance),
+        taylor_grad_check_convergence=bool(taylor_grad_check_convergence),
+        chi_min_norm=float(chi_min_norm),
+        J_T_takes_tau=accepts_tau(J_T) and has_targets,
+        chi_takes_tau=accepts_tau(chi) and has_targets,
+        has_targets=has_targets,
+        prop_method=prop_method,
+    )
+
+
+def _hamiltonian_at(cp: CompiledProblem, eps_n):
+    """``H_kn (K, d, d)`` for interval coefficients ``eps_n (L,)``."""
+    if cp.ops.shape[1] == 0:
+        return cp.H0
+    return cp.H0, eps_n  # placeholder (not used; see _step_ham)
+
+
+def _step_ops(cp: CompiledProblem, n, eps_n, cdtype):
+    """(H_n (K,d,d), mu_n (K,L,d,d)) for time interval index ``n``."""
+    Mn = cp.M[n]  # (T, L)
+    coeffs = (Mn @ eps_n).astype(cdtype)  # (T,)
+    H = cp.H0 + jnp.einsum("t,ktij->kij", coeffs, cp.ops)
+    mu = jnp.einsum("tl,ktij->klij", Mn.astype(cdtype), cp.ops)
+    return H, mu
+
+
+def _forward(cp: CompiledProblem, pulsevals):
+    """Forward propagation storing all states.
+
+    Returns ``storage (N_T+1, K, d)`` — the reference's per-trajectory
+    ``fw_storage`` (``src/workspace.jl:215``, ``src/optimize.jl:731-738``).
+    """
+    cdtype = cp.psi0.dtype
+    dt = jnp.diff(cp.tlist)
+    eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps)).astype(
+        cp.tlist.dtype
+    )
+
+    def step(psi, n):
+        Mn = cp.M[n]
+        coeffs = (Mn @ eps[:, n]).astype(cdtype)
+        H = cp.H0 + jnp.einsum("t,ktij->kij", coeffs, cp.ops)
+        U = expm((-1j * dt[n].astype(cdtype)) * H)
+        psi_new = jnp.einsum("kij,kj->ki", U, psi)
+        return psi_new, psi_new
+
+    _, ys = lax.scan(step, cp.psi0, jnp.arange(cp.n_timesteps))
+    storage = jnp.concatenate([cp.psi0[None], ys], axis=0)
+    return storage
+
+
+def _grid_weights(tlist):
+    """Trapezoid weights over grid points: ``[dt_1/2, Δt_1.., dt_NT/2]``
+    with ``Δt_n = (t_{n+1} - t_{n-1})/2`` (background.md trapezoid expansion).
+    """
+    dt = jnp.diff(tlist)
+    w_interior = 0.5 * (dt[:-1] + dt[1:])
+    return jnp.concatenate(
+        [0.5 * dt[:1], w_interior, 0.5 * dt[-1:]]
+    )
+
+
+def _J_parts(cp: CompiledProblem, pulsevals, storage):
+    """``[J_T, λ_a J_a, λ_b J_b]`` and tau values from the forward storage."""
+    psi_T = storage[-1]
+    tau = taus(psi_T, cp.trajectories) if cp.has_targets else None
+    if cp.J_T_takes_tau:
+        J_T_val = cp.J_T(psi_T, cp.trajectories, tau=tau)
+    else:
+        J_T_val = cp.J_T(psi_T, cp.trajectories)
+    zero = jnp.zeros((), dtype=J_T_val.dtype)
+    J_a_val = zero
+    if cp.J_a is not None:
+        J_a_val = cp.lambda_a * cp.J_a(pulsevals, cp.tlist)
+    J_b_val = zero
+    if cp.g_b is not None:
+        w = _grid_weights(cp.tlist)
+
+        def gb_at(n):
+            return cp.g_b(storage[n], cp.trajectories, cp.tlist, n)
+
+        gvals = jax.vmap(gb_at)(jnp.arange(cp.n_timesteps + 1))  # (N_T+1, K)
+        J_b_val = cp.lambda_b * jnp.sum(w[:, None] * gvals)
+    return J_T_val, J_a_val, J_b_val, tau
+
+
+def build_f(cp: CompiledProblem):
+    """Jitted functional-only evaluation (reference
+    ``evaluate_functional``, used for line-search F-only probes)."""
+
+    @jax.jit
+    def f(pulsevals):
+        storage = _forward(cp, pulsevals)
+        J_T_val, J_a_val, J_b_val, tau = _J_parts(cp, pulsevals, storage)
+        J = J_T_val + J_a_val + J_b_val
+        aux = {
+            "J_parts": jnp.stack([J_T_val, J_a_val, J_b_val]),
+            "tau": tau if tau is not None else jnp.zeros(cp.n_traj),
+            "psi_T": storage[-1],
+        }
+        return J, aux
+
+    return f
+
+
+def _chi_boundary(cp: CompiledProblem, storage, tau):
+    """``χ(T)`` including the ``λ_b (dt_NT / 2) ξ(T)`` boundary term
+    (``src/optimize.jl:856-866``)."""
+    psi_T = storage[-1]
+    if cp.chi_takes_tau:
+        chi = cp.chi(psi_T, cp.trajectories, tau=tau)
+    else:
+        chi = cp.chi(psi_T, cp.trajectories)
+    if cp.xi is not None:
+        dt_last = cp.tlist[-1] - cp.tlist[-2]
+        chi = chi + cp.lambda_b * 0.5 * dt_last * cp.xi(
+            psi_T, cp.trajectories, cp.tlist, cp.n_timesteps
+        )
+    return chi
+
+
+def build_fg(cp: CompiledProblem):
+    """Jitted function-and-gradient program (reference ``fg!`` /
+    ``evaluate_gradient!``).
+
+    Returns ``fg(pulsevals_flat) -> (J, grad_flat, aux)`` with the flat
+    l-major pulse layout ``[ε_11.. ε_{N_T}1, ε_12..]`` matching
+    ``src/workspace.jl:158-162``.
+    """
+    cdtype = cp.psi0.dtype
+    rdtype = cp.tlist.dtype
+    use_taylor = cp.gradient_method == "taylor"
+
+    @jax.jit
+    def fg(pulsevals):
+        pulsevals = jnp.asarray(pulsevals, dtype=rdtype)
+        storage = _forward(cp, pulsevals)
+        J_T_val, J_a_val, J_b_val, tau = _J_parts(cp, pulsevals, storage)
+        J = J_T_val + J_a_val + J_b_val
+
+        chi_T = _chi_boundary(cp, storage, tau).astype(cdtype)
+        rho = jnp.sqrt(
+            jnp.sum(jnp.abs(chi_T) ** 2, axis=-1)
+        )  # (K,) norms, reference :867-868
+        chi_ok = jnp.all(rho > cp.chi_min_norm)
+        safe_rho = jnp.where(rho > 0, rho, 1.0)
+        chi_hat = chi_T / safe_rho[:, None].astype(cdtype)
+
+        dt = jnp.diff(cp.tlist)
+        eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps))
+
+        def bw_step(chi, n):
+            # interval n (0-based): propagate chi from t_{n+1} to t_n with
+            # U†; gradient contribution uses Ψ(t_n) from storage.
+            H, mu = _step_ops(cp, n, eps[:, n], cdtype)
+            Hd = jnp.conj(jnp.swapaxes(H, -1, -2))
+            mud = jnp.conj(jnp.swapaxes(mu, -1, -2))
+            ndt = -dt[n].astype(rdtype)
+            if use_taylor:
+                chi_prime = taylor_grad_step(
+                    Hd, mud, chi, ndt,
+                    max_order=cp.taylor_grad_max_order,
+                    tolerance=cp.taylor_grad_tolerance,
+                    check_convergence=cp.taylor_grad_check_convergence,
+                )
+                U = expm((-1j * ndt) * Hd)
+                chi_new = jnp.einsum("kij,kj->ki", U, chi)
+            else:
+                chi_prime, chi_new = gradgen_step(Hd, mud, chi, ndt)
+            psi_prev = storage[n]  # Ψ(t_n)
+            # ∇τ_{knl} = ρ_k ⟨χ'_{kl}|Ψ(t_n)⟩   (src/optimize.jl:893-895)
+            grad_n = rho[:, None].astype(cdtype) * jnp.einsum(
+                "kli,ki->kl", jnp.conj(chi_prime), psi_prev
+            )
+            if cp.xi is not None:
+                # inhomogeneity λ_b Δt_n ξ(t_n)/ρ_k at interior grid points
+                # (src/optimize.jl:897-908); grid point n is interior iff
+                # 1 <= n <= N_T-1, i.e. skip n == 0.
+                w = _grid_weights(cp.tlist)[n]
+                xi_n = cp.xi(storage[n], cp.trajectories, cp.tlist, n)
+                inhom = (
+                    cp.lambda_b * w / safe_rho[:, None]
+                ).astype(cdtype) * xi_n
+                chi_new = jnp.where(n > 0, chi_new + inhom, chi_new)
+            return chi_new, grad_n
+
+        ns = jnp.arange(cp.n_timesteps - 1, -1, -1)
+        _, grads_rev = lax.scan(bw_step, chi_hat, ns)
+        # grads_rev: (N_T, K, L) in reversed time order
+        tau_grads = grads_rev[::-1]  # (N_T, K, L)
+        grad_Tb = -2.0 * jnp.real(jnp.sum(tau_grads, axis=1))  # (N_T, L)
+        grad_Tb_flat = grad_Tb.T.reshape(-1)  # l-major flat layout
+        grad = grad_Tb_flat
+        if cp.grad_J_a is not None:
+            grad_J_a_flat = jnp.reshape(
+                cp.grad_J_a(pulsevals, cp.tlist), grad.shape
+            ).astype(grad.dtype)
+            grad = grad + cp.lambda_a * grad_J_a_flat
+        else:
+            grad_J_a_flat = jnp.zeros_like(grad)
+        aux = {
+            "grad_J_Tb": grad_Tb_flat,
+            "grad_J_a": grad_J_a_flat,
+            "J_parts": jnp.stack([J_T_val, J_a_val, J_b_val]),
+            "tau": tau if tau is not None else jnp.zeros(cp.n_traj),
+            "psi_T": storage[-1],
+            "chi_ok": chi_ok,
+            "chi_norms": rho,
+        }
+        return J, grad, aux
+
+    return fg

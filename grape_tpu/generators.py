@@ -1,0 +1,137 @@
+"""Time-dependent generators (Hamiltonians / Liouvillians).
+
+TPU-native analog of ``QuantumPropagators.Generators`` as consumed by the
+reference (``hamiltonian(H0, (H1, ε), …)`` structure, ``README.md:36-42``).
+A :class:`Generator` is a drift operator plus a list of ``(operator,
+amplitude)`` terms.  For the jitted GRAPE program it compiles (per list of
+trajectories) into stacked dense arrays plus static per-interval coefficient
+matrices:
+
+    H_k(ε, n)  =  H0_k + Σ_j  M[n, j, l_j] · ε_{l_j}  ·  Op_{k,j}
+    μ_{k,l,n}  =  ∂H_k/∂ε_l = Σ_j M[n, j, l] · Op_{k,j}
+
+where ``M (N_T, T, L)`` holds the (shape-weighted) linear coefficients.  This
+keeps the whole time scan free of Python dispatch and makes both ``H`` and
+``μ`` batched-matmul (MXU) workloads.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from .amplitudes import ShapedAmplitude
+
+__all__ = ["Generator", "hamiltonian", "liouvillian"]
+
+
+class Generator:
+    """Drift + control terms: ``H(t) = H0 + Σ_j a_j(ε, t) · Op_j``."""
+
+    def __init__(self, drift, terms):
+        self.drift = np.asarray(drift)
+        # terms: list of (op, amplitude) where amplitude is a control
+        # (callable / vector) or a ShapedAmplitude
+        self.terms = [(np.asarray(op), amp) for (op, amp) in terms]
+
+    def get_controls(self):
+        controls = []
+        seen = set()
+        for _, amp in self.terms:
+            amp_controls = (
+                amp.get_controls() if hasattr(amp, "get_controls") else (amp,)
+            )
+            for c in amp_controls:
+                if id(c) not in seen:
+                    seen.add(id(c))
+                    controls.append(c)
+        return tuple(controls)
+
+    @property
+    def dim(self):
+        return self.drift.shape[-1]
+
+    def term_shapes(self, tlist):
+        """Per-term static shape values on the intervals: list of ``(N_T,)``."""
+        N_T = len(tlist) - 1
+        out = []
+        for _, amp in self.terms:
+            if isinstance(amp, ShapedAmplitude):
+                out.append(np.asarray(amp.compile(tlist), dtype=np.float64))
+            else:
+                out.append(np.ones(N_T, dtype=np.float64))
+        return out
+
+    def term_control_indices(self, controls):
+        """Index into `controls` for each term's underlying control."""
+        idx = []
+        for _, amp in self.terms:
+            control = amp.control if isinstance(amp, ShapedAmplitude) else amp
+            for l, c in enumerate(controls):
+                if c is control:
+                    idx.append(l)
+                    break
+            else:  # pragma: no cover
+                raise ValueError("term control not found in control list")
+        return idx
+
+
+def hamiltonian(*parts):
+    """Build a :class:`Generator` from drift operators and ``(op, control)``
+    tuples, analogous to ``QuantumPropagators.hamiltonian`` (README.md:36-42).
+
+    ``hamiltonian(H0, (H1, eps))``; multiple drift operators are summed; the
+    control in a tuple may be a callable ``ε(t)``, a vector of pulse values,
+    or a :class:`~grape_tpu.amplitudes.ShapedAmplitude`.
+    """
+    drift = None
+    terms = []
+    for part in parts:
+        if isinstance(part, tuple) and len(part) == 2:
+            op, amp = part
+            terms.append((np.asarray(op), amp))
+        else:
+            op = np.asarray(part)
+            drift = op if drift is None else drift + op
+    if drift is None:
+        if not terms:
+            raise ValueError("hamiltonian() needs at least one operator")
+        drift = np.zeros_like(terms[0][0])
+    return Generator(drift, terms)
+
+
+def liouvillian(H, c_ops=()):
+    """Vectorized Liouvillian ``L`` such that ``dvec(ρ)/dt = -i L vec(ρ)``
+    (column stacking), so the same ``exp(-i L dt)`` propagation applies to
+    open systems, mirroring the reference's treatment of density matrices as
+    vectorized states (background.md, "Open Quantum Systems" tip).
+
+    ``H`` may be a :class:`Generator` (terms are lifted term-by-term) or a
+    plain matrix.  ``c_ops`` are static collapse operators (Lindblad).
+    """
+    def _lift_h(op):
+        d = op.shape[-1]
+        ident = np.eye(d, dtype=complex)
+        return np.kron(ident, op) - np.kron(op.T, ident)
+
+    def _lift_c(c):
+        d = c.shape[-1]
+        ident = np.eye(d, dtype=complex)
+        cdc = c.conj().T @ c
+        # -i L_dissipative contribution folded so that exp(-i L dt) is correct:
+        # dρ/dt ⊃ c ρ c† - ½{c†c, ρ}  =>  -i L_c = kron(c*, c) - ½kron(I, c†c)
+        #                                       - ½kron((c†c)^T, I)
+        return 1j * (
+            np.kron(c.conj(), c)
+            - 0.5 * np.kron(ident, cdc)
+            - 0.5 * np.kron(cdc.T, ident)
+        )
+
+    if isinstance(H, Generator):
+        drift = _lift_h(H.drift.astype(complex))
+        for c in c_ops:
+            drift = drift + _lift_c(np.asarray(c, dtype=complex))
+        terms = [(_lift_h(op.astype(complex)), amp) for (op, amp) in H.terms]
+        return Generator(drift, terms)
+    L0 = _lift_h(np.asarray(H, dtype=complex))
+    for c in c_ops:
+        L0 = L0 + _lift_c(np.asarray(c, dtype=complex))
+    return Generator(L0, [])

@@ -1,0 +1,203 @@
+"""GRAPE workspace.
+
+Analog of ``GrapeWrk`` (``/root/reference/src/workspace.jl:78-362``), holding
+the mutable host-side optimization state around the purely-functional jitted
+device program: the flat pulse vector (layout ``pulsevals[l*N_T + n]``,
+matching ``src/workspace.jl:158-162``), gradient buffers, bounds, evaluation
+counters, the result object, and optimizer-introspection state (step width,
+search direction) for callbacks.
+
+Where the reference aliases ``@view``s of the pulse vector into its
+propagators, here the pulse vector is simply the argument of the jitted
+``fg``; mutation by the optimizer (or by a callback, cf.
+``test/test_iterations.jl:128-145``) is honored because every evaluation
+passes the current vector to the device program.
+"""
+
+import numpy as np
+
+from .controls import discretize_on_midpoints
+from .fg import build_f, build_fg, compile_problem
+from .result import GrapeResult
+
+__all__ = [
+    "GrapeWrk", "step_width", "search_direction", "norm_search",
+    "gradient", "pulse_update", "vec_angle",
+]
+
+
+class GrapeWrk:
+    def __init__(self, trajectories, tlist, kwargs):
+        self.kwargs = dict(kwargs)
+        self.trajectories = list(trajectories)
+        self.tlist = np.asarray(tlist, dtype=np.float64)
+        self.cp = compile_problem(trajectories, tlist, **self.kwargs)
+        self.fg = build_fg(self.cp)
+        self.f = build_f(self.cp)
+        self.controls = self.cp.controls
+        L, N_T = self.cp.n_controls, self.cp.n_timesteps
+        self.n = L * N_T
+
+        continue_from = self.kwargs.get("continue_from", None)
+        if continue_from is not None:
+            import logging
+            logging.getLogger(__name__).info(
+                "Continuing previous optimization"
+            )
+            result = continue_from
+            if not isinstance(result, GrapeResult):
+                result = GrapeResult.from_result(
+                    result, self.trajectories, tlist, self.kwargs
+                )
+            result.iter_stop = int(self.kwargs.get("iter_stop", 5000))
+            result.converged = False
+            import datetime
+            result.start_local_time = datetime.datetime.now()
+            result.message = "in progress"
+            self.pulsevals = np.concatenate(
+                [
+                    discretize_on_midpoints(c, result.tlist)
+                    for c in result.optimized_controls
+                ]
+            )
+            self.result = result
+        else:
+            self.result = GrapeResult(self.trajectories, tlist, self.kwargs)
+            self.pulsevals = self.cp.guess_pulsevals.reshape(-1).copy()
+
+        self.pulsevals_guess = self.pulsevals.copy()
+        self.gradient = np.zeros(self.n)
+        self.grad_J_Tb = np.zeros(self.n)
+        self.grad_J_a = np.zeros(self.n)
+        self.J_parts = np.zeros(3)
+        self.tau_vals = np.zeros(self.cp.n_traj, dtype=np.complex128)
+        self.states = None  # (K, d) final states of latest evaluation
+        self.fg_count = np.zeros(2, dtype=np.int64)  # [fg_calls, f_calls]
+
+        # bounds (flat, same l-major layout as pulsevals)
+        ub = float(self.kwargs.get("upper_bound", np.inf))
+        lb = float(self.kwargs.get("lower_bound", -np.inf))
+        self.upper_bounds = np.full(self.n, ub)
+        self.lower_bounds = np.full(self.n, lb)
+        pulse_options = self.kwargs.get("pulse_options", None)
+        if pulse_options:
+            for l, control in enumerate(self.controls):
+                options = None
+                for key, val in pulse_options.items():
+                    if key is control:
+                        options = val
+                        break
+                if options is None:
+                    continue
+                sl = slice(l * N_T, (l + 1) * N_T)
+                if "upper_bounds" in options:
+                    self.upper_bounds[sl] = np.asarray(
+                        options["upper_bounds"], dtype=np.float64
+                    )
+                if "lower_bounds" in options:
+                    self.lower_bounds[sl] = np.asarray(
+                        options["lower_bounds"], dtype=np.float64
+                    )
+
+        # optimizer-introspection state (filled by the backend)
+        self.optimizer = self.kwargs.get("optimizer", None)
+        self.optimizer_state = None
+        self.alpha = 0.0            # last line-search step width
+        self.searchdirection = np.zeros(self.n)
+        self.gradient_guess = np.zeros(self.n)  # gradient at start of iter
+
+    # -- device evaluation entry points ------------------------------------
+
+    def evaluate_functional(self, x, count_call=True):
+        J, aux = self.f(np.asarray(x, dtype=np.float64))
+        if count_call:
+            self.fg_count[1] += 1
+            self.result.f_calls += 1
+        self.J_parts[:] = np.asarray(aux["J_parts"], dtype=np.float64)
+        self.tau_vals[:] = np.asarray(aux["tau"])
+        self.states = np.asarray(aux["psi_T"])
+        return float(J)
+
+    def evaluate_gradient(self, x, G_out=None):
+        J, G, aux = self.fg(np.asarray(x, dtype=np.float64))
+        self.fg_count[0] += 1
+        self.result.fg_calls += 1
+        self.J_parts[:] = np.asarray(aux["J_parts"], dtype=np.float64)
+        self.tau_vals[:] = np.asarray(aux["tau"])
+        self.states = np.asarray(aux["psi_T"])
+        if not bool(aux["chi_ok"]):
+            raise RuntimeError(
+                f"The norm of a state χ(T) is below chi_min_norm="
+                f"{self.cp.chi_min_norm}: the gradient is zero"
+            )
+        G = np.asarray(G, dtype=np.float64)
+        if G_out is not None:
+            G_out[:] = G
+        self.gradient[:] = G
+        self.grad_J_Tb[:] = np.asarray(aux["grad_J_Tb"], dtype=np.float64)
+        self.grad_J_a[:] = np.asarray(aux["grad_J_a"], dtype=np.float64)
+        return float(J), G
+
+
+# --------------------------------------------------------------------------
+# Introspection helpers (``src/workspace.jl:378-511``): callback-safe access
+# to optimizer internals.
+# --------------------------------------------------------------------------
+
+def step_width(wrk):
+    """Line-search step width α of the current iteration
+    (``dsave[14]`` analog, ``ext/GRAPELBFGSBExt.jl:205-213``)."""
+    return float(wrk.alpha)
+
+
+def search_direction(wrk):
+    """Search direction used in the current iteration (falls back to ``-∇J``
+    before the first iteration, ``src/workspace.jl:411``)."""
+    s = np.asarray(wrk.searchdirection)
+    if not np.any(s):
+        return -np.asarray(wrk.gradient)
+    return s
+
+
+def norm_search(wrk):
+    return float(np.linalg.norm(search_direction(wrk)))
+
+
+def gradient(wrk, which="initial"):
+    """Gradient associated with the current iteration.
+
+    ``which="initial"``: gradient at the iterate from which the current
+    iteration started (what determined the search direction);
+    ``which="final"``: gradient at the optimized point of the iteration
+    (``src/workspace.jl:449-460``)."""
+    if which == "final":
+        return np.asarray(wrk.gradient)
+    g = np.asarray(wrk.gradient_guess)
+    if not np.any(g):
+        return np.asarray(wrk.gradient)
+    return g
+
+
+def pulse_update(wrk):
+    """``pulsevals - pulsevals_guess`` for the current iteration
+    (``src/workspace.jl:474``)."""
+    return np.asarray(wrk.pulsevals) - np.asarray(wrk.pulsevals_guess)
+
+
+def vec_angle(v1, v2, unit="rad"):
+    """Angle between two vectors, numerically robust 2·atan form
+    (``src/workspace.jl:486-510``)."""
+    v1 = np.asarray(v1, dtype=np.float64)
+    v2 = np.asarray(v2, dtype=np.float64)
+    n1 = np.linalg.norm(v1)
+    n2 = np.linalg.norm(v2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    u1 = v1 / n1
+    u2 = v2 / n2
+    angle = 2 * np.arctan2(
+        np.linalg.norm(u1 - u2), np.linalg.norm(u1 + u2)
+    )
+    if unit == "degree":
+        return float(np.degrees(angle))
+    return float(angle)

@@ -1,0 +1,124 @@
+"""Functionals and semi-AD chi tests.
+
+Verifies the jax.grad Wirtinger convention of `make_chi` against the
+analytic chis (the reference's AD-vs-analytic agreement anchors, e.g.
+``test/test_state_running_cost.jl:174-176``, ‖Δ‖ < 1e-14)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from grape_tpu import Trajectory, hamiltonian
+from grape_tpu.functionals import (
+    J_T_re, J_T_sm, J_T_ss, J_a_fluence, chi_re, chi_sm, chi_ss,
+    grad_J_a_fluence, make_chi, make_grad_J_a, make_xi,
+    gate_functional, make_gate_chi, taus,
+)
+
+
+def _random_problem(K=3, d=4, seed=1):
+    rng = np.random.default_rng(seed)
+    H = hamiltonian(np.eye(d), (rng.normal(size=(d, d)), lambda t: 0.5))
+    trajs = []
+    for _ in range(K):
+        psi0 = rng.normal(size=d) + 1j * rng.normal(size=d)
+        tgt = rng.normal(size=d) + 1j * rng.normal(size=d)
+        trajs.append(
+            Trajectory(
+                psi0 / np.linalg.norm(psi0), H,
+                target_state=tgt / np.linalg.norm(tgt),
+            )
+        )
+    Psi = rng.normal(size=(K, d)) + 1j * rng.normal(size=(K, d))
+    return trajs, jnp.asarray(Psi)
+
+
+def test_ad_chi_matches_analytic():
+    trajs, Psi = _random_problem()
+    for J_T, chi_analytic in (
+        (J_T_sm, chi_sm), (J_T_re, chi_re), (J_T_ss, chi_ss),
+    ):
+        chi_ad = make_chi(J_T, trajs, mode="automatic")
+        got = np.asarray(chi_ad(Psi, trajs))
+        want = np.asarray(chi_analytic(Psi, trajs))
+        assert np.linalg.norm(got - want) < 1e-13, J_T.__name__
+
+
+def test_make_chi_prefers_analytic():
+    trajs, _ = _random_problem()
+    assert make_chi(J_T_sm, trajs) is chi_sm
+
+
+def test_fluence_gradient():
+    tlist = np.linspace(0, 2, 11)
+    rng = np.random.default_rng(0)
+    eps = rng.normal(size=(2, 10))
+    # AD grad of J_a_fluence equals analytic grad
+    grad_fn = make_grad_J_a(J_a_fluence, tlist)
+    import jax
+    ad = jax.grad(lambda p: J_a_fluence(p, tlist))(jnp.asarray(eps))
+    assert np.allclose(np.asarray(ad), grad_J_a_fluence(eps, tlist))
+    assert np.allclose(np.asarray(grad_fn(eps, tlist)), np.asarray(ad))
+
+
+def test_make_xi_matches_analytic():
+    """g_b = ⟨Ψ|D|Ψ⟩ (observable cost) → ξ = -D|Ψ⟩
+    (reference ``test/test_state_running_cost.jl:174-176``)."""
+    rng = np.random.default_rng(4)
+    K, d = 2, 5
+    Dh = rng.normal(size=(d, d))
+    Dh = Dh + Dh.T  # Hermitian observable
+    D = jnp.asarray(Dh, dtype=complex)
+    trajs, Psi = _random_problem(K=K, d=d)
+    tlist = jnp.linspace(0, 1, 11)
+
+    def g_b(P, trajectories, tl, n):
+        return jnp.real(
+            jnp.einsum("ki,ij,kj->k", jnp.conj(P), D, P)
+        )
+
+    xi = make_xi(g_b, trajs)
+    got = np.asarray(xi(Psi, trajs, tlist, 3))
+    want = -np.einsum("ij,kj->ki", Dh, np.asarray(Psi))
+    assert np.linalg.norm(got - want) < 1e-13
+
+
+def test_gate_functional_and_chi():
+    """Gate-lifted J_T and its AD chi agree with direct evaluation/AD."""
+    rng = np.random.default_rng(8)
+    d = 4
+    # orthonormal basis trajectories
+    basis = np.linalg.qr(
+        rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    )[0]
+    O = np.linalg.qr(
+        rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    )[0]
+    H = hamiltonian(np.eye(d), (np.eye(d), lambda t: 0.0))
+    trajs = [
+        Trajectory(basis[:, k], H, target_state=O @ basis[:, k])
+        for k in range(d)
+    ]
+
+    def J_T_U(U_L):
+        # gate infidelity in terms of the logical gate
+        O_L = jnp.asarray(
+            np.array([
+                [np.vdot(basis[:, i], O @ basis[:, j]) for j in range(d)]
+                for i in range(d)
+            ])
+        )
+        f = jnp.trace(jnp.conj(O_L).T @ U_L) / d
+        return 1.0 - jnp.abs(f) ** 2
+
+    J_T = gate_functional(J_T_U)
+    chi_gate = make_gate_chi(J_T_U, trajs)
+    chi_ad = make_chi(J_T, trajs, mode="automatic")
+    Psi = jnp.asarray(
+        (rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d)))
+    )
+    got = np.asarray(chi_gate(Psi, trajs))
+    want = np.asarray(chi_ad(Psi, trajs))
+    assert np.linalg.norm(got - want) < 1e-13
+    # J_T via gate equals J_T_sm-style direct evaluation at perfect gate
+    Psi_perfect = jnp.asarray((O @ basis).T)
+    assert abs(float(J_T(Psi_perfect, trajs))) < 1e-12
