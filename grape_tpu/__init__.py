@@ -18,6 +18,7 @@ from .controls import discretize, discretize_on_midpoints, get_controls
 from .generators import Generator, hamiltonian, liouvillian
 from .io import load_optimization, load_result, optimize_or_load, save_result
 from .optimize import optimize, optimize_problem
+from .propagate import propagate, substitute
 from .result import GrapeResult
 from .trajectory import ControlProblem, Trajectory
 from .workspace import (
@@ -32,7 +33,7 @@ __all__ = [
     "optimize", "optimize_problem", "GrapeResult", "Trajectory",
     "ControlProblem", "hamiltonian", "liouvillian", "Generator",
     "ShapedAmplitude", "discretize", "discretize_on_midpoints",
-    "get_controls", "functionals", "shapes",
+    "get_controls", "functionals", "shapes", "propagate", "substitute",
     "save_result", "load_result", "optimize_or_load", "load_optimization",
     "GrapeWrk", "step_width", "search_direction", "norm_search", "gradient",
     "pulse_update", "vec_angle",

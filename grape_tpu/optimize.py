@@ -170,8 +170,8 @@ def apply_convergence_check(result, check_convergence):
     if result.converged:
         return
     converged = check_convergence(result)
-    if isinstance(converged, bool):
-        result.converged = converged
+    if isinstance(converged, (bool, np.bool_)):
+        result.converged = bool(converged)
         if converged:
             result.message = "Convergence check returned true"
     elif isinstance(converged, str):

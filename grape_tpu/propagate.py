@@ -1,0 +1,108 @@
+"""Standalone propagation utilities.
+
+Public analogs of ``QuantumPropagators.propagate`` and
+``QuantumControl.Controls.substitute`` as used in the reference tests
+(``test/test_state_running_cost.jl:270-276,317-323``): simulate dynamics
+under a generator (optionally storing all intermediate states), and replace
+a generator's controls with optimized pulse vectors.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .amplitudes import ShapedAmplitude
+from .config import complex_dtype
+from .controls import discretize_on_midpoints, get_controls
+from .generators import Generator
+from .ops.expm import expm
+
+__all__ = ["propagate", "substitute"]
+
+
+def substitute(generator, mapping):
+    """Return a copy of `generator` with controls replaced per `mapping`
+    (a list of ``(old_control, new_control)`` pairs or a dict-like of
+    id-matched controls)."""
+    if isinstance(mapping, dict):
+        pairs = list(mapping.items())
+    else:
+        pairs = list(mapping)
+
+    def replace(control):
+        for old, new in pairs:
+            if control is old:
+                return new
+        return control
+
+    new_terms = []
+    for op, amp in generator.terms:
+        if isinstance(amp, ShapedAmplitude):
+            new_terms.append(
+                (op, ShapedAmplitude(replace(amp.control), amp.shape))
+            )
+        else:
+            new_terms.append((op, replace(amp)))
+    return Generator(generator.drift, new_terms)
+
+
+def propagate(state, generator, tlist, storage=False, backwards=False,
+              dtype=None):
+    """Propagate `state` under `generator` over `tlist` (piecewise-constant
+    exponential propagation).
+
+    With ``storage=True``, returns the array of all states ``(N_T+1, d)``;
+    otherwise only the final state ``(d,)``.
+    """
+    tlist = np.asarray(tlist, dtype=np.float64)
+    N_T = len(tlist) - 1
+    cdtype = complex_dtype(dtype) if dtype is not None else complex_dtype(
+        jnp.result_type(float)
+    )
+    controls = get_controls(generator)
+    eps = (
+        np.stack([discretize_on_midpoints(c, tlist) for c in controls])
+        if controls else np.zeros((0, N_T))
+    )
+    shapes = generator.term_shapes(tlist)
+    ctl_idx = generator.term_control_indices(controls)
+    T = len(generator.terms)
+    M = np.zeros((N_T, T, max(len(controls), 1)))
+    for j in range(T):
+        M[:, j, ctl_idx[j]] = shapes[j]
+    H0 = jnp.asarray(generator.drift, dtype=cdtype)
+    ops = (
+        jnp.stack([jnp.asarray(op, dtype=cdtype) for op, _ in generator.terms])
+        if T else jnp.zeros((0,) + generator.drift.shape, dtype=cdtype)
+    )
+    Mj = jnp.asarray(M)
+    epsj = jnp.asarray(
+        eps if len(controls) else np.zeros((1, N_T))
+    )
+    dt = jnp.diff(jnp.asarray(tlist))
+    if backwards:
+        sign = -1.0
+        order = jnp.arange(N_T - 1, -1, -1)
+    else:
+        sign = 1.0
+        order = jnp.arange(N_T)
+    psi0 = jnp.asarray(state, dtype=cdtype)
+
+    @jax.jit
+    def run(psi0, epsj):
+        def step(psi, n):
+            coeffs = (Mj[n] @ epsj[:, n]).astype(cdtype)
+            H = H0 + jnp.einsum("t,tij->ij", coeffs, ops)
+            if backwards:
+                H = jnp.conj(H.T)
+            U = expm((-1j * sign * dt[n].astype(cdtype)) * H)
+            psi = U @ psi
+            return psi, psi
+
+        return lax.scan(step, psi0, order)
+
+    psi_T, ys = run(psi0, epsj)
+    if storage:
+        return np.concatenate([np.asarray(psi0)[None], np.asarray(ys)], axis=0)
+    return np.asarray(psi_T)

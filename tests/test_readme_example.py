@@ -1,0 +1,46 @@
+"""README example with disk checkpointing (port of the reference's
+``test/test_readme_example.jl``): the canonical two-level example converges,
+the checkpoint file is written, reloadable, and usable as a warm start."""
+
+import os
+
+import numpy as np
+
+from grape_tpu import (
+    Trajectory, hamiltonian, load_optimization, optimize_or_load,
+)
+from grape_tpu.functionals import J_T_sm
+from grape_tpu.shapes import flattop
+
+
+def test_readme_example(tmp_path):
+    def eps(t):
+        return 0.2 * float(flattop(t, T=5, t_rise=0.3, func="blackman"))
+
+    sz = np.array([[1, 0], [0, -1]], dtype=complex)
+    sx = np.array([[0, 1], [1, 0]], dtype=complex)
+    H = hamiltonian(-0.5 * sz, (sx, eps))
+    tlist = np.linspace(0, 5, 501)
+    traj = Trajectory([1, 0], H, target_state=[0, 1])
+    fn = str(tmp_path / "GRAPE_opt_result.pkl")
+
+    result = optimize_or_load(
+        fn, [traj], tlist,
+        J_T=J_T_sm, iter_stop=5, print_iters=False,
+        rethrow_exceptions=True,
+    )
+    assert result.J_T < 1e-3
+    assert os.path.exists(fn)
+
+    # loading returns the stored result without re-optimizing
+    reloaded = optimize_or_load(
+        fn, [traj], tlist, J_T=J_T_sm, iter_stop=5, print_iters=False,
+    )
+    assert abs(reloaded.J_T - result.J_T) < 1e-12
+    assert np.allclose(
+        reloaded.optimized_controls[0], result.optimized_controls[0]
+    )
+
+    loaded = load_optimization(fn)
+    assert loaded.message == result.message
+    assert loaded.converged
