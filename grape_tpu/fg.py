@@ -37,6 +37,7 @@ from jax import lax
 from .config import complex_dtype, real_dtype
 from .controls import discretize_on_midpoints, get_controls
 from .functionals import accepts_tau, make_chi, make_grad_J_a, make_xi, taus
+from .ops.cheby import cheby_apply, cheby_coeffs, spectral_envelope
 from .ops.expm import expm
 from .ops.frechet import gradgen_step, taylor_grad_step
 
@@ -80,7 +81,8 @@ class CompiledProblem:
     J_T_takes_tau: bool = False
     chi_takes_tau: bool = False
     has_targets: bool = False
-    prop_method: Any = None
+    prop_method: str = "expprop"
+    cheby_tol: float = 1e-14
 
     @property
     def dt(self):
@@ -106,6 +108,7 @@ def compile_problem(
     chi_min_norm=1e-100,
     dtype=None,
     prop_method=None,
+    cheby_tol=1e-14,
     **_ignored,
 ):
     """Compile trajectories + tlist into a :class:`CompiledProblem`.
@@ -217,7 +220,8 @@ def compile_problem(
         J_T_takes_tau=accepts_tau(J_T) and has_targets,
         chi_takes_tau=accepts_tau(chi) and has_targets,
         has_targets=has_targets,
-        prop_method=prop_method,
+        prop_method=_normalize_prop_method(prop_method),
+        cheby_tol=float(cheby_tol),
     )
 
 
@@ -237,11 +241,87 @@ def _step_ops(cp: CompiledProblem, n, eps_n, cdtype):
     return H, mu
 
 
-def _forward(cp: CompiledProblem, pulsevals):
+
+def _normalize_prop_method(prop_method):
+    if prop_method is None:
+        return "expprop"
+    name = getattr(prop_method, "__name__", str(prop_method)).lower()
+    if name in ("expprop", "exp", "expm"):
+        return "expprop"
+    if name in ("cheby", "chebyshev", "chebychev"):
+        return "cheby"
+    raise ValueError(f"Unknown prop_method: {prop_method!r}")
+
+
+def _cheby_data(cp: CompiledProblem, amp_max):
+    """Static Chebyshev data for a pulse-amplitude envelope `amp_max (L,)`.
+
+    Mirrors the reference's re-initialization of the Cheby propagator with
+    control-range hints (``src/optimize.jl:656-662,722``): the spectral
+    envelope is derived from the amplitude bounds, and the per-step Bessel
+    coefficient tables are computed on host so the jitted scan stays free of
+    special functions.
+    """
+    import numpy as _np
+
+    amp_max = _np.asarray(amp_max, dtype=_np.float64)
+    M = _np.asarray(cp.M)  # (N_T, T, L)
+    cmax = _np.einsum("ntl,l->nt", _np.abs(M), amp_max).max(axis=0)  # (T,)
+    E_min, E_max = spectral_envelope(
+        _np.asarray(cp.H0), _np.asarray(cp.ops), -cmax, cmax
+    )
+    dE = E_max - E_min
+    shift = E_max + E_min  # normalization H_norm = (2H - shift)/dE
+    dt = _np.diff(_np.asarray(cp.tlist, dtype=_np.float64))
+    rows_fw, rows_bw, ph_fw, ph_bw = [], [], [], []
+    for dtn in dt:
+        alpha = 0.5 * dE * dtn
+        rows_fw.append(cheby_coeffs(alpha, tol=cp.cheby_tol))
+        rows_bw.append(cheby_coeffs(-alpha, tol=cp.cheby_tol))
+        # overall phase e^{-i (dE/2 + E_min) dt} (forward), conj for backward
+        ph = _np.exp(-1j * 0.5 * (E_max + E_min) * dtn)
+        ph_fw.append(ph)
+        ph_bw.append(_np.conj(ph))
+    Kt = max(max(len(r) for r in rows_fw), max(len(r) for r in rows_bw))
+    tab_fw = _np.zeros((len(dt), Kt), dtype=_np.complex128)
+    tab_bw = _np.zeros((len(dt), Kt), dtype=_np.complex128)
+    for n, (rf, rb) in enumerate(zip(rows_fw, rows_bw)):
+        tab_fw[n, : len(rf)] = rf
+        tab_bw[n, : len(rb)] = rb
+    cdtype = cp.psi0.dtype
+    return {
+        "dE": dE,
+        "shift": shift,
+        "tab_fw": jnp.asarray(tab_fw, dtype=cdtype),
+        "tab_bw": jnp.asarray(tab_bw, dtype=cdtype),
+        "ph_fw": jnp.asarray(_np.asarray(ph_fw), dtype=cdtype),
+        "ph_bw": jnp.asarray(_np.asarray(ph_bw), dtype=cdtype),
+    }
+
+
+def _prop_data(cp: CompiledProblem, amp_max=None):
+    if cp.prop_method == "cheby":
+        if amp_max is None:
+            amp_max = 2.0 * _default_amp_max(cp)
+        return _cheby_data(cp, amp_max)
+    return None
+
+
+def _default_amp_max(cp: CompiledProblem):
+    import numpy as _np
+
+    return _np.maximum(
+        _np.max(_np.abs(cp.guess_pulsevals), axis=1), 0.1
+    )
+
+
+def _forward(cp: CompiledProblem, pulsevals, pd=None):
     """Forward propagation storing all states.
 
     Returns ``storage (N_T+1, K, d)`` — the reference's per-trajectory
     ``fw_storage`` (``src/workspace.jl:215``, ``src/optimize.jl:731-738``).
+    ``pd`` is the static propagator data (None for ExpProp, the Chebyshev
+    coefficient tables for Cheby).
     """
     cdtype = cp.psi0.dtype
     dt = jnp.diff(cp.tlist)
@@ -253,8 +333,16 @@ def _forward(cp: CompiledProblem, pulsevals):
         Mn = cp.M[n]
         coeffs = (Mn @ eps[:, n]).astype(cdtype)
         H = cp.H0 + jnp.einsum("t,ktij->kij", coeffs, cp.ops)
-        U = expm((-1j * dt[n].astype(cdtype)) * H)
-        psi_new = jnp.einsum("kij,kj->ki", U, psi)
+        if pd is None:
+            U = expm((-1j * dt[n].astype(cdtype)) * H)
+            psi_new = jnp.einsum("kij,kj->ki", U, psi)
+        else:
+            d = cp.dim
+            Hn = (2.0 * H - pd["shift"] * jnp.eye(d, dtype=cdtype)) / pd["dE"]
+            psi_new = cheby_apply(
+                lambda v: jnp.einsum("kij,kj->ki", Hn, v),
+                psi, pd["tab_fw"][n], pd["ph_fw"][n],
+            )
         return psi_new, psi_new
 
     _, ys = lax.scan(step, cp.psi0, jnp.arange(cp.n_timesteps))
@@ -297,13 +385,14 @@ def _J_parts(cp: CompiledProblem, pulsevals, storage):
     return J_T_val, J_a_val, J_b_val, tau
 
 
-def build_f(cp: CompiledProblem):
+def build_f(cp: CompiledProblem, amp_max=None):
     """Jitted functional-only evaluation (reference
     ``evaluate_functional``, used for line-search F-only probes)."""
+    pd = _prop_data(cp, amp_max)
 
     @jax.jit
     def f(pulsevals):
-        storage = _forward(cp, pulsevals)
+        storage = _forward(cp, pulsevals, pd)
         J_T_val, J_a_val, J_b_val, tau = _J_parts(cp, pulsevals, storage)
         J = J_T_val + J_a_val + J_b_val
         aux = {
@@ -332,7 +421,7 @@ def _chi_boundary(cp: CompiledProblem, storage, tau):
     return chi
 
 
-def build_fg(cp: CompiledProblem):
+def build_fg(cp: CompiledProblem, amp_max=None):
     """Jitted function-and-gradient program (reference ``fg!`` /
     ``evaluate_gradient!``).
 
@@ -343,11 +432,12 @@ def build_fg(cp: CompiledProblem):
     cdtype = cp.psi0.dtype
     rdtype = cp.tlist.dtype
     use_taylor = cp.gradient_method == "taylor"
+    pd = _prop_data(cp, amp_max)
 
     @jax.jit
     def fg(pulsevals):
         pulsevals = jnp.asarray(pulsevals, dtype=rdtype)
-        storage = _forward(cp, pulsevals)
+        storage = _forward(cp, pulsevals, pd)
         J_T_val, J_a_val, J_b_val, tau = _J_parts(cp, pulsevals, storage)
         J = J_T_val + J_a_val + J_b_val
 
@@ -376,10 +466,54 @@ def build_fg(cp: CompiledProblem):
                     tolerance=cp.taylor_grad_tolerance,
                     check_convergence=cp.taylor_grad_check_convergence,
                 )
-                U = expm((-1j * ndt) * Hd)
-                chi_new = jnp.einsum("kij,kj->ki", U, chi)
-            else:
+                if pd is None:
+                    U = expm((-1j * ndt) * Hd)
+                    chi_new = jnp.einsum("kij,kj->ki", U, chi)
+                else:
+                    d = cp.dim
+                    Hn = (
+                        2.0 * Hd - pd["shift"] * jnp.eye(d, dtype=cdtype)
+                    ) / pd["dE"]
+                    chi_new = cheby_apply(
+                        lambda v: jnp.einsum("kij,kj->ki", Hn, v),
+                        chi, pd["tab_bw"][n], pd["ph_bw"][n],
+                    )
+            elif pd is None:
                 chi_prime, chi_new = gradgen_step(Hd, mud, chi, ndt)
+            else:
+                # Cheby gradgen: Chebyshev series in the normalized
+                # augmented ("gradient generator") operator acting on the
+                # extended state (χ'_1..χ'_L, χ) — the reference backward-
+                # propagates the same extended state under G[H†] with its
+                # piecewise propagators (background.md Eq. (gradprop-bw)).
+                d = cp.dim
+                Hn = (
+                    2.0 * Hd - pd["shift"] * jnp.eye(d, dtype=cdtype)
+                ) / pd["dE"]
+                mun = (2.0 / pd["dE"]) * mud
+
+                def gmatvec(v):
+                    # v (K, L+1, d); last slot is χ
+                    out = jnp.einsum("kij,klj->kli", Hn, v)
+                    add = jnp.einsum(
+                        "klij,kj->kli", mun, v[:, -1, :]
+                    )
+                    return out.at[:, :-1, :].add(add)
+
+                ext0 = jnp.concatenate(
+                    [
+                        jnp.zeros(
+                            (cp.n_traj, cp.n_controls, d), dtype=cdtype
+                        ),
+                        chi[:, None, :],
+                    ],
+                    axis=1,
+                )
+                ext = cheby_apply(
+                    gmatvec, ext0, pd["tab_bw"][n], pd["ph_bw"][n]
+                )
+                chi_prime = ext[:, :-1, :]
+                chi_new = ext[:, -1, :]
             psi_prev = storage[n]  # Ψ(t_n)
             # ∇τ_{knl} = ρ_k ⟨χ'_{kl}|Ψ(t_n)⟩   (src/optimize.jl:893-895)
             grad_n = rho[:, None].astype(cdtype) * jnp.einsum(

@@ -32,8 +32,19 @@ class GrapeWrk:
         self.trajectories = list(trajectories)
         self.tlist = np.asarray(tlist, dtype=np.float64)
         self.cp = compile_problem(trajectories, tlist, **self.kwargs)
-        self.fg = build_fg(self.cp)
-        self.f = build_f(self.cp)
+        self._amp_bucket = None
+        self._program_cache = {}
+        if self.cp.prop_method == "cheby":
+            # Chebyshev coefficient tables are static under jit, so the
+            # amplitude envelope is bucketed to powers of two and programs
+            # are re-jitted only when the optimizer pushes a pulse beyond
+            # the current bucket (the reference instead re-initializes its
+            # Cheby propagators with control-range hints each evaluation,
+            # src/optimize.jl:656-662,722).
+            self._amp_bucket = self._bucket_for(
+                np.max(np.abs(self.cp.guess_pulsevals), axis=1)
+            )
+        self.fg, self.f = self._programs()
         self.controls = self.cp.controls
         L, N_T = self.cp.n_controls, self.cp.n_timesteps
         self.n = L * N_T
@@ -106,9 +117,47 @@ class GrapeWrk:
         self.searchdirection = np.zeros(self.n)
         self.gradient_guess = np.zeros(self.n)  # gradient at start of iter
 
+
+    # -- Chebyshev amplitude-envelope bucketing ----------------------------
+
+    def _bucket_for(self, amps):
+        amps = np.maximum(np.asarray(amps, dtype=np.float64), 0.05)
+        ub = self.kwargs.get("upper_bound", np.inf)
+        lb = self.kwargs.get("lower_bound", -np.inf)
+        bound_amp = max(abs(ub), abs(lb)) if np.isfinite(ub) and np.isfinite(
+            lb
+        ) else np.inf
+        target = np.minimum(2.0 * amps, bound_amp)
+        return tuple(np.exp2(np.ceil(np.log2(target))))
+
+    def _programs(self):
+        key = self._amp_bucket
+        if key not in self._program_cache:
+            amp_max = np.asarray(key) if key is not None else None
+            self._program_cache[key] = (
+                build_fg(self.cp, amp_max=amp_max),
+                build_f(self.cp, amp_max=amp_max),
+            )
+        return self._program_cache[key]
+
+    def _ensure_envelope(self, x):
+        """Grow the Chebyshev bucket if the pulse exceeds it."""
+        if self._amp_bucket is None:
+            return
+        N_T = self.cp.n_timesteps
+        amps = np.max(
+            np.abs(np.reshape(np.asarray(x), (-1, N_T))), axis=1
+        )
+        if np.any(amps > np.asarray(self._amp_bucket)):
+            self._amp_bucket = self._bucket_for(
+                np.maximum(amps, np.asarray(self._amp_bucket))
+            )
+            self.fg, self.f = self._programs()
+
     # -- device evaluation entry points ------------------------------------
 
     def evaluate_functional(self, x, count_call=True):
+        self._ensure_envelope(x)
         J, aux = self.f(np.asarray(x, dtype=np.float64))
         if count_call:
             self.fg_count[1] += 1
@@ -119,6 +168,7 @@ class GrapeWrk:
         return float(J)
 
     def evaluate_gradient(self, x, G_out=None):
+        self._ensure_envelope(x)
         J, G, aux = self.fg(np.asarray(x, dtype=np.float64))
         self.fg_count[0] += 1
         self.result.fg_calls += 1
