@@ -191,12 +191,16 @@ def compile_problem(
         xi = None
 
     rdtype = real_dtype(cdtype)
+    # NOTE: arrays stay host-side numpy: jit embeds them as constants from
+    # host memory.  Creating them eagerly on device would require a
+    # device->host copy at trace time, which the axon TPU platform does not
+    # implement for complex dtypes.
     return CompiledProblem(
-        psi0=jnp.asarray(psi0),
-        H0=jnp.asarray(H0),
-        ops=jnp.asarray(ops),
-        M=jnp.asarray(M, dtype=rdtype),
-        tlist=jnp.asarray(tlist, dtype=rdtype),
+        psi0=np.asarray(psi0),
+        H0=np.asarray(H0),
+        ops=np.asarray(ops),
+        M=np.asarray(M, dtype=rdtype),
+        tlist=np.asarray(tlist, dtype=rdtype),
         trajectories=trajectories,
         controls=controls,
         guess_pulsevals=guess,
@@ -225,6 +229,19 @@ def compile_problem(
     )
 
 
+
+def pack_complex(x):
+    """Split a complex array into a stacked (2, ...) real array so jitted
+    outputs never require complex device->host transfers (unimplemented on
+    the axon TPU platform)."""
+    return jnp.stack([jnp.real(x), jnp.imag(x)])
+
+
+def unpack_complex(arr):
+    arr = np.asarray(arr)
+    return arr[0] + 1j * arr[1]
+
+
 def _hamiltonian_at(cp: CompiledProblem, eps_n):
     """``H_kn (K, d, d)`` for interval coefficients ``eps_n (L,)``."""
     if cp.ops.shape[1] == 0:
@@ -234,10 +251,11 @@ def _hamiltonian_at(cp: CompiledProblem, eps_n):
 
 def _step_ops(cp: CompiledProblem, n, eps_n, cdtype):
     """(H_n (K,d,d), mu_n (K,L,d,d)) for time interval index ``n``."""
-    Mn = cp.M[n]  # (T, L)
+    Mn = jnp.asarray(cp.M)[n]  # (T, L)
+    ops_ = jnp.asarray(cp.ops)
     coeffs = (Mn @ eps_n).astype(cdtype)  # (T,)
-    H = cp.H0 + jnp.einsum("t,ktij->kij", coeffs, cp.ops)
-    mu = jnp.einsum("tl,ktij->klij", Mn.astype(cdtype), cp.ops)
+    H = jnp.asarray(cp.H0) + jnp.einsum("t,ktij->kij", coeffs, ops_)
+    mu = jnp.einsum("tl,ktij->klij", Mn.astype(cdtype), ops_)
     return H, mu
 
 
@@ -324,15 +342,19 @@ def _forward(cp: CompiledProblem, pulsevals, pd=None):
     coefficient tables for Cheby).
     """
     cdtype = cp.psi0.dtype
-    dt = jnp.diff(cp.tlist)
+    M_ = jnp.asarray(cp.M)
+    H0_ = jnp.asarray(cp.H0)
+    ops_ = jnp.asarray(cp.ops)
+    psi0_ = jnp.asarray(cp.psi0)
+    dt = jnp.diff(jnp.asarray(cp.tlist))
     eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps)).astype(
         cp.tlist.dtype
     )
 
     def step(psi, n):
-        Mn = cp.M[n]
+        Mn = M_[n]
         coeffs = (Mn @ eps[:, n]).astype(cdtype)
-        H = cp.H0 + jnp.einsum("t,ktij->kij", coeffs, cp.ops)
+        H = H0_ + jnp.einsum("t,ktij->kij", coeffs, ops_)
         if pd is None:
             U = expm((-1j * dt[n].astype(cdtype)) * H)
             psi_new = jnp.einsum("kij,kj->ki", U, psi)
@@ -345,8 +367,8 @@ def _forward(cp: CompiledProblem, pulsevals, pd=None):
             )
         return psi_new, psi_new
 
-    _, ys = lax.scan(step, cp.psi0, jnp.arange(cp.n_timesteps))
-    storage = jnp.concatenate([cp.psi0[None], ys], axis=0)
+    _, ys = lax.scan(step, psi0_, jnp.arange(cp.n_timesteps))
+    storage = jnp.concatenate([psi0_[None], ys], axis=0)
     return storage
 
 
@@ -397,8 +419,10 @@ def build_f(cp: CompiledProblem, amp_max=None):
         J = J_T_val + J_a_val + J_b_val
         aux = {
             "J_parts": jnp.stack([J_T_val, J_a_val, J_b_val]),
-            "tau": tau if tau is not None else jnp.zeros(cp.n_traj),
-            "psi_T": storage[-1],
+            "tau": pack_complex(
+                tau if tau is not None else jnp.zeros(cp.n_traj)
+            ),
+            "psi_T": pack_complex(storage[-1]),
         }
         return J, aux
 
@@ -549,8 +573,10 @@ def build_fg(cp: CompiledProblem, amp_max=None):
             "grad_J_Tb": grad_Tb_flat,
             "grad_J_a": grad_J_a_flat,
             "J_parts": jnp.stack([J_T_val, J_a_val, J_b_val]),
-            "tau": tau if tau is not None else jnp.zeros(cp.n_traj),
-            "psi_T": storage[-1],
+            "tau": pack_complex(
+                tau if tau is not None else jnp.zeros(cp.n_traj)
+            ),
+            "psi_T": pack_complex(storage[-1]),
             "chi_ok": chi_ok,
             "chi_norms": rho,
         }

@@ -66,16 +66,55 @@ def expm_pade13(A):
     return jnp.linalg.solve(V - U, V + U)
 
 
+# Taylor scaling-and-squaring parameters: degree-16 Paterson-Stockmeyer for
+# single precision (matmul-only — no LU solve, which is slow on TPU).
+_TAYLOR_DEGREE = 16
+_THETA_TAYLOR_F32 = 2.0  # conservative: ||A/2^s|| <= 2 with m=16 gives
+                          # truncation error well below f32 roundoff
+
+import math as _math
+_FACT_INV = tuple(1.0 / _math.factorial(k) for k in range(_TAYLOR_DEGREE + 1))
+
+
+def expm_taylor_ps(A, degree=_TAYLOR_DEGREE):
+    """Degree-`degree` Taylor approximant of expm(A) via Paterson-Stockmeyer
+    (matmul-only; for scaled inputs with ``||A|| <= theta``)."""
+    d = A.shape[-1]
+    ident = jnp.eye(d, dtype=A.dtype)
+    p = 4  # block size: powers A^1..A^4
+    A2 = A @ A
+    A3 = A2 @ A
+    A4 = A3 @ A
+    powers = [ident, A, A2, A3]
+    n_blocks = (degree + 1 + p - 1) // p
+    # E = sum_{b} (A^4)^b * (sum_{r<4} c_{4b+r} A^r), evaluated by Horner in A4
+    E = None
+    for b in reversed(range(n_blocks)):
+        blk = None
+        for r in range(p):
+            k = 4 * b + r
+            if k > degree:
+                continue
+            term = _FACT_INV[k] * powers[r]
+            blk = term if blk is None else blk + term
+        E = blk if E is None else blk + A4 @ E
+    return E
+
+
 def expm(A, max_squarings=32):
     """Matrix exponential of a batch of square matrices ``A (..., d, d)``.
 
-    Scaling-and-squaring with Padé-13; the scaling exponent ``s`` is shared
-    across the batch (max of the per-matrix 1-norms), so the squaring loop is
-    a single ``fori_loop`` with a traced trip count.
+    Scaling-and-squaring; the scaling exponent ``s`` is shared across the
+    batch (max of the per-matrix 1-norms), so the squaring loop is a single
+    ``fori_loop`` with a traced trip count.  The core approximant is
+    Padé-13 in double precision (reference-accuracy parity) and a matmul-only
+    degree-16 Taylor (Paterson-Stockmeyer) in single precision — on TPU the
+    Padé LU solve would dominate the cost.
     """
     A = jnp.asarray(A)
+    use_taylor = A.dtype in (jnp.complex64, jnp.float32)
     norm = jnp.max(jnp.sum(jnp.abs(A), axis=-2))  # max 1-norm over batch
-    theta = _theta13(A.dtype)
+    theta = _THETA_TAYLOR_F32 if use_taylor else _theta13(A.dtype)
     # s = max(0, ceil(log2(norm / theta)))
     s = jnp.maximum(
         0.0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-300) / theta))
@@ -84,7 +123,9 @@ def expm(A, max_squarings=32):
     scale = jnp.exp2(-s.astype(jnp.float32)).astype(
         jnp.real(A).dtype if jnp.issubdtype(A.dtype, jnp.complexfloating) else A.dtype
     )
-    E = expm_pade13(A * scale)
+    E = (
+        expm_taylor_ps(A * scale) if use_taylor else expm_pade13(A * scale)
+    )
 
     def square(_, M):
         return M @ M

@@ -71,38 +71,48 @@ def propagate(state, generator, tlist, storage=False, backwards=False,
     M = np.zeros((N_T, T, max(len(controls), 1)))
     for j in range(T):
         M[:, j, ctl_idx[j]] = shapes[j]
-    H0 = jnp.asarray(generator.drift, dtype=cdtype)
+    # host-side numpy constants (complex device->host transfers are
+    # unimplemented on the axon TPU platform, so complex outputs are packed
+    # into real/imag pairs inside the jitted program)
+    H0 = np.asarray(generator.drift, dtype=cdtype)
     ops = (
-        jnp.stack([jnp.asarray(op, dtype=cdtype) for op, _ in generator.terms])
-        if T else jnp.zeros((0,) + generator.drift.shape, dtype=cdtype)
+        np.stack([np.asarray(op, dtype=cdtype) for op, _ in generator.terms])
+        if T else np.zeros((0,) + generator.drift.shape, dtype=cdtype)
     )
-    Mj = jnp.asarray(M)
-    epsj = jnp.asarray(
-        eps if len(controls) else np.zeros((1, N_T))
-    )
-    dt = jnp.diff(jnp.asarray(tlist))
+    epsj = np.asarray(eps if len(controls) else np.zeros((1, N_T)))
+    dtv = np.diff(tlist)
     if backwards:
         sign = -1.0
-        order = jnp.arange(N_T - 1, -1, -1)
+        order = np.arange(N_T - 1, -1, -1)
     else:
         sign = 1.0
-        order = jnp.arange(N_T)
-    psi0 = jnp.asarray(state, dtype=cdtype)
+        order = np.arange(N_T)
+    psi0 = np.asarray(state, dtype=cdtype)
 
     @jax.jit
-    def run(psi0, epsj):
+    def run(eps_in):
+        Mj = jnp.asarray(M)
+        H0_ = jnp.asarray(H0)
+        ops_ = jnp.asarray(ops)
+        dt_ = jnp.asarray(dtv)
+
         def step(psi, n):
-            coeffs = (Mj[n] @ epsj[:, n]).astype(cdtype)
-            H = H0 + jnp.einsum("t,tij->ij", coeffs, ops)
+            coeffs = (Mj[n] @ eps_in[:, n]).astype(cdtype)
+            H = H0_ + jnp.einsum("t,tij->ij", coeffs, ops_)
             if backwards:
                 H = jnp.conj(H.T)
-            U = expm((-1j * sign * dt[n].astype(cdtype)) * H)
+            U = expm((-1j * sign * dt_[n].astype(cdtype)) * H)
             psi = U @ psi
             return psi, psi
 
-        return lax.scan(step, psi0, order)
+        psi_T, ys = lax.scan(step, jnp.asarray(psi0), jnp.asarray(order))
+        pack = lambda x: jnp.stack([jnp.real(x), jnp.imag(x)])
+        return pack(psi_T), pack(ys)
 
-    psi_T, ys = run(psi0, epsj)
+    psi_T_p, ys_p = run(epsj)
+    psi_T_p = np.asarray(psi_T_p)
     if storage:
-        return np.concatenate([np.asarray(psi0)[None], np.asarray(ys)], axis=0)
-    return np.asarray(psi_T)
+        ys_p = np.asarray(ys_p)
+        ys = ys_p[0] + 1j * ys_p[1]
+        return np.concatenate([psi0[None], ys], axis=0)
+    return psi_T_p[0] + 1j * psi_T_p[1]

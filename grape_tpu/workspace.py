@@ -17,7 +17,7 @@ passes the current vector to the device program.
 import numpy as np
 
 from .controls import discretize_on_midpoints
-from .fg import build_f, build_fg, compile_problem
+from .fg import build_f, build_fg, compile_problem, unpack_complex
 from .result import GrapeResult
 
 __all__ = [
@@ -163,8 +163,8 @@ class GrapeWrk:
             self.fg_count[1] += 1
             self.result.f_calls += 1
         self.J_parts[:] = np.asarray(aux["J_parts"], dtype=np.float64)
-        self.tau_vals[:] = np.asarray(aux["tau"])
-        self.states = np.asarray(aux["psi_T"])
+        self.tau_vals[:] = unpack_complex(aux["tau"])
+        self.states = unpack_complex(aux["psi_T"])
         return float(J)
 
     def evaluate_gradient(self, x, G_out=None):
@@ -173,8 +173,8 @@ class GrapeWrk:
         self.fg_count[0] += 1
         self.result.fg_calls += 1
         self.J_parts[:] = np.asarray(aux["J_parts"], dtype=np.float64)
-        self.tau_vals[:] = np.asarray(aux["tau"])
-        self.states = np.asarray(aux["psi_T"])
+        self.tau_vals[:] = unpack_complex(aux["tau"])
+        self.states = unpack_complex(aux["psi_T"])
         if not bool(aux["chi_ok"]):
             raise RuntimeError(
                 f"The norm of a state χ(T) is below chi_min_norm="

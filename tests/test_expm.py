@@ -68,3 +68,21 @@ def test_gradgen_step_matches_finite_difference():
         Um = scipy.linalg.expm(-1j * dt * (H - h * mu[l]))
         dU = (Up - Um) / (2 * h)
         assert np.linalg.norm(chi_prime[l] - dU @ chi) < 1e-7
+
+
+def test_expm_single_precision_taylor():
+    """The complex64 path (matmul-only Taylor/Paterson-Stockmeyer) is
+    accurate to f32 roundoff for skew-Hermitian generators."""
+    import scipy.linalg as sla
+
+    rng = np.random.default_rng(9)
+    H = rng.normal(size=(8, 8))
+    H = H + H.T
+    for s in (0.3, 5.0, 40.0):
+        A = (-1j * s * H).astype(np.complex64)
+        E = np.asarray(expm(A[None]))[0]
+        ref = sla.expm(A.astype(np.complex128))
+        rel = np.linalg.norm(E - ref) / np.linalg.norm(ref)
+        assert rel < 5e-5, (s, rel)
+        # unitarity preserved
+        assert np.linalg.norm(E @ E.conj().T - np.eye(8)) < 1e-4

@@ -1,0 +1,89 @@
+"""Benchmark model-family tests (BASELINE configs 1-5 at reduced size)."""
+
+import numpy as np
+import pytest
+
+from grape_tpu import optimize_problem, optimize
+from grape_tpu.models import (
+    tls_problem, transmon_ensemble_trajectories, transmon_qutrit_problem,
+    two_transmon_cz_problem,
+)
+from grape_tpu.functionals import J_T_sm
+
+
+def test_tls_problem():
+    """BASELINE config 1 (README two-level)."""
+    problem = tls_problem(
+        J_T=J_T_sm, iter_stop=5, print_iters=False, rethrow_exceptions=True
+    )
+    res = optimize_problem(problem)
+    assert res.J_T < 1e-3
+    assert 0.75 < np.max(np.abs(res.optimized_controls[0])) < 0.85
+
+
+def test_transmon_qutrit_guard_penalty():
+    """BASELINE config 3: qutrit X gate; the guard-level running cost
+    suppresses the peak guard-level population relative to the unpenalized
+    optimization (measured by re-propagating under the optimized pulses,
+    the reference's STIRAP methodology)."""
+    from grape_tpu import get_controls, propagate, substitute
+
+    problem = transmon_qutrit_problem(
+        n_steps=100, T=10.0, iter_stop=100, print_iters=False,
+        rethrow_exceptions=True,
+    )
+
+    def guard_pop(res):
+        H = problem.trajectories[0].generator
+        H_opt = substitute(
+            H, list(zip(get_controls(H), res.optimized_controls))
+        )
+        dyn = propagate(
+            problem.trajectories[0].initial_state, H_opt, problem.tlist,
+            storage=True,
+        )
+        return float(np.max(np.abs(dyn[:, 2:]) ** 2))
+
+    res_free = optimize_problem(
+        problem, lambda_b=0.0,
+        check_convergence=lambda r: bool(r.J_T < 1e-3),
+    )
+    res_pen = optimize_problem(
+        problem, lambda_b=1.0,
+        check_convergence=lambda r: bool(r.J_T < 1e-3 and r.J_b < 1e-3),
+    )
+    assert res_free.J_T < 1e-3
+    assert res_pen.J_T < 5e-2
+    assert guard_pop(res_pen) < guard_pop(res_free)
+
+
+def test_two_transmon_cz_small():
+    """BASELINE config 4 at reduced size (d=4 -> dim=16, 200 steps)."""
+    problem = two_transmon_cz_problem(
+        d=4, J=0.15, n_steps=300, T=30.0, E0=0.1, iter_stop=60,
+        print_iters=False, rethrow_exceptions=True,
+        check_convergence=lambda r: bool(r.J_T < 1e-2),
+    )
+    res = optimize_problem(problem)
+    assert res.converged
+    assert res.J_T < 1e-2
+
+
+def test_ensemble_trajectories_share_controls():
+    trajs = transmon_ensemble_trajectories(4, d=3)
+    from grape_tpu import get_controls
+
+    controls = get_controls([t.generator for t in trajs])
+    assert len(controls) == 2  # x and y drives shared across all samples
+
+
+def test_graft_entry():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    J, grad, aux = fn(*args)
+    assert np.isfinite(float(J))
+    assert np.isfinite(np.linalg.norm(np.asarray(grad)))
+    g.dryrun_multichip(8)
