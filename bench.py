@@ -3,10 +3,15 @@
 Headline metric (BASELINE.json): propagation steps/s/chip for the fused
 function-and-gradient evaluation (forward expm scan + backward
 Fréchet-gradient scan) on the two-transmon CZ configuration (dim=100,
-4 trajectories, multi-control).  ``vs_baseline`` is the speedup of the
+4 trajectories, 4 drive controls).  ``vs_baseline`` is the speedup of the
 accelerator (TPU, complex64) over the same program on one CPU host in
 float64 — a proxy for the reference, which is a CPU/Float64 code with no
 published numbers (BASELINE.md).
+
+Platform notes (axon TPU): async dispatch cannot be trusted before the
+first host sync, so every timed evaluation is synced by transferring the
+scalar J to host; the first execution of a program pays a large server-side
+compile/queue cost, which is excluded via a warmup evaluation.
 """
 
 import json
@@ -14,6 +19,9 @@ import sys
 import time
 
 import numpy as np
+
+N_STEPS = 800
+K_TRAJ = 4
 
 
 def _build(n_steps, dtype):
@@ -24,57 +32,47 @@ def _build(n_steps, dtype):
     cp = compile_problem(
         problem.trajectories, problem.tlist, dtype=dtype, **problem.kwargs
     )
-    fg = build_fg(cp)
-    x = cp.guess_pulsevals.reshape(-1)
-    return fg, x, cp
+    return build_fg(cp), cp.guess_pulsevals.reshape(-1)
 
 
 def _time_fg(fg, x, n_iter):
-    import jax
-
-    J, g, aux = fg(x)  # warmup/compile
-    jax.block_until_ready((J, g))
     rng = np.random.default_rng(0)
+    J = float(fg(x)[0])  # warmup: trace + device compile + first execution
+    assert np.isfinite(J)
     xs = [x + 0.01 * rng.normal(size=x.shape) for _ in range(n_iter)]
     t0 = time.perf_counter()
-    outs = []
+    acc = 0.0
     for xi in xs:
-        J, g, aux = fg(xi)
-        outs.append((J, g))
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / n_iter, float(J)
+        acc += float(fg(xi)[0])  # scalar host transfer = hard sync
+    dt = (time.perf_counter() - t0) / n_iter
+    assert np.isfinite(acc)
+    return dt
 
 
 def main():
     import jax
 
     platform = jax.devices()[0].platform
-    on_accel = platform not in ("cpu",)
+    fg, x = _build(N_STEPS, dtype=np.complex64)
+    dt_accel = _time_fg(fg, x, n_iter=5)
+    steps_per_s = N_STEPS * K_TRAJ / dt_accel
 
-    # --- accelerator measurement (complex64 on TPU) ---
-    n_steps = 2000
-    K = 4
-    if on_accel:
-        fg, x, cp = _build(n_steps, dtype=np.complex64)
-        dt_accel, J = _time_fg(fg, x, n_iter=3)
-    else:
-        # no accelerator available: measure CPU as the "device"
-        fg, x, cp = _build(n_steps, dtype=np.complex64)
-        dt_accel, J = _time_fg(fg, x, n_iter=1)
-    steps_per_s = n_steps * K / dt_accel
-
-    # --- CPU float64 reference proxy (scaled config, extrapolated) ---
+    # CPU float64 reference proxy (scaled config; per-step cost is
+    # N_T-independent, so steps/s extrapolates)
     cpu = jax.devices("cpu")[0]
-    n_cpu = 50
+    n_cpu = 25
+    jax.config.update("jax_enable_x64", True)  # true f64 on the CPU side
     with jax.default_device(cpu):
-        jax.config.update("jax_enable_x64", True)
-        fg_c, x_c, _ = _build(n_cpu, dtype=np.complex128)
-        dt_cpu, _ = _time_fg(fg_c, x_c, n_iter=1)
-    cpu_steps_per_s = n_cpu * K / dt_cpu
+        fg_c, x_c = _build(n_cpu, dtype=np.complex128)
+        dt_cpu = _time_fg(fg_c, x_c, n_iter=2)
+    cpu_steps_per_s = n_cpu * K_TRAJ / dt_cpu
     vs_baseline = steps_per_s / cpu_steps_per_s
 
     print(json.dumps({
-        "metric": "CZ dim=100 fused fg propagation steps/s/chip (expm+grad)",
+        "metric": (
+            "two-transmon CZ dim=100 fused fg (expm+grad) propagation "
+            f"throughput on {platform}"
+        ),
         "value": round(steps_per_s, 1),
         "unit": "traj-steps/s",
         "vs_baseline": round(vs_baseline, 2),

@@ -413,6 +413,7 @@ def build_f(cp: CompiledProblem, amp_max=None):
     pd = _prop_data(cp, amp_max)
 
     @jax.jit
+    @jax.default_matmul_precision("highest")
     def f(pulsevals):
         storage = _forward(cp, pulsevals, pd)
         J_T_val, J_a_val, J_b_val, tau = _J_parts(cp, pulsevals, storage)
@@ -458,7 +459,10 @@ def build_fg(cp: CompiledProblem, amp_max=None):
     use_taylor = cp.gradient_method == "taylor"
     pd = _prop_data(cp, amp_max)
 
+    # full f32 MXU accuracy: TPU matmuls otherwise default to bf16 passes,
+    # which breaks unitarity over long propagations
     @jax.jit
+    @jax.default_matmul_precision("highest")
     def fg(pulsevals):
         pulsevals = jnp.asarray(pulsevals, dtype=rdtype)
         storage = _forward(cp, pulsevals, pd)

@@ -1,0 +1,207 @@
+"""Pallas TPU kernels for the GRAPE hot path.
+
+The XLA path dispatches ~10 batched matmuls per time step (Taylor-PS expm)
+with HBM round-trips between them.  This kernel runs the ENTIRE forward
+propagation in one ``pallas_call``: the TPU grid executes sequentially, so
+the state carry lives in a VMEM scratch buffer across grid steps, the
+Hamiltonian terms stay VMEM-resident (constant index maps), and each step's
+scaling-and-squaring Taylor exponential + matvec happens entirely on-chip.
+Only the per-step states stream out to HBM (the GRAPE forward storage).
+
+Mosaic has no complex dtype, so complex matrices are carried as separate
+real/imaginary planes and products use the 3-multiplication Karatsuba form —
+3 real MXU matmuls per complex matmul vs XLA's 4.
+
+Grid layout: ``(K, N_T)`` — trajectories outer (parallelizable), time inner
+(sequential, carrying ψ).  The squaring count is static (derived from the
+amplitude envelope on host, like the Chebyshev tables).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .expm import _FACT_INV
+
+__all__ = ["forward_scan_pallas", "pallas_available"]
+
+
+# Full f32 accuracy on the MXU: without this, TPU f32 matmuls default to
+# bf16 passes (~8-bit mantissa), which destroys unitarity over long scans.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32, precision=_PREC
+    )
+
+
+def _cmatmul(ar, ai, br, bi):
+    """Karatsuba complex matmul: (ar+i·ai) @ (br+i·bi) with 3 real dots."""
+    t1 = _dot(ar, br)
+    t2 = _dot(ai, bi)
+    t3 = _dot(ar + ai, br + bi)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _cmatvec(ar, ai, vr, vi):
+    """Complex matrix @ vector with the vector as a (1, d) row: v @ A^T
+    keeps everything 2D for the MXU."""
+    t1 = _dot(vr, ar.T)
+    t2 = _dot(vi, ai.T)
+    t3 = _dot(vr + vi, (ar + ai).T)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _expm_taylor_kernel_body(ar, ai, degree, n_squarings):
+    """Scaling-and-squaring degree-`degree` Taylor expm of (ar + i·ai),
+    entirely in registers/VMEM.  Scaling by 2^{-n_squarings} (static)."""
+    scale = np.float32(2.0 ** (-n_squarings))
+    ar = ar * scale
+    ai = ai * scale
+    d = ar.shape[-1]
+    ident = jnp.eye(d, dtype=jnp.float32)
+    # powers A^2, A^3, A^4
+    a2r, a2i = _cmatmul(ar, ai, ar, ai)
+    a3r, a3i = _cmatmul(a2r, a2i, ar, ai)
+    a4r, a4i = _cmatmul(a3r, a3i, ar, ai)
+    pows = [(ident, jnp.zeros_like(ident)), (ar, ai), (a2r, a2i), (a3r, a3i)]
+    n_blocks = (degree + 1 + 3) // 4
+    er = None
+    ei = None
+    for b in reversed(range(n_blocks)):
+        blkr = jnp.zeros_like(ar)
+        blki = jnp.zeros_like(ai)
+        for r in range(4):
+            k = 4 * b + r
+            if k > degree:
+                continue
+            c = np.float32(_FACT_INV[k])
+            blkr = blkr + c * pows[r][0]
+            blki = blki + c * pows[r][1]
+        if er is None:
+            er, ei = blkr, blki
+        else:
+            tr, ti = _cmatmul(a4r, a4i, er, ei)
+            er = blkr + tr
+            ei = blki + ti
+    for _ in range(n_squarings):
+        er, ei = _cmatmul(er, ei, er, ei)
+    return er, ei
+
+
+def _fwd_kernel(
+    coeffs_ref, dts_ref,  # scalar-prefetch: (N_T, T), (N_T, 1)
+    h0r_ref, h0i_ref, opsr_ref, opsi_ref, psi0r_ref, psi0i_ref,
+    outr_ref, outi_ref,
+    psir_ref, psii_ref,  # scratch carry (1, d)
+    *, degree, n_squarings, n_terms,
+):
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        psir_ref[...] = psi0r_ref[0]
+        psii_ref[...] = psi0i_ref[0]
+
+    # H = H0 + sum_j c_j Op_j   (this step's coefficients from SMEM)
+    hr = h0r_ref[0]
+    hi = h0i_ref[0]
+    for j in range(n_terms):
+        c = coeffs_ref[n, j]
+        hr = hr + c * opsr_ref[0, j]
+        hi = hi + c * opsi_ref[0, j]
+    # A = -i * dt * H  =>  Ar = dt * Hi, Ai = -dt * Hr
+    dt = dts_ref[n, 0]
+    ar = dt * hi
+    ai = -dt * hr
+    er, ei = _expm_taylor_kernel_body(ar, ai, degree, n_squarings)
+    vr, vi = _cmatvec(er, ei, psir_ref[...], psii_ref[...])
+    psir_ref[...] = vr
+    psii_ref[...] = vi
+    outr_ref[0, pl.ds(n, 1), :] = vr
+    outi_ref[0, pl.ds(n, 1), :] = vi
+
+
+def forward_scan_pallas(
+    H0, ops, coeffs, dts, psi0, n_squarings, degree=16, interpret=False
+):
+    """Full forward propagation as one Pallas kernel.
+
+    Args:
+      H0:   (K, d, d) complex64 drift
+      ops:  (K, T, d, d) complex64 control operators
+      coeffs: (N_T, T) float32 per-step term coefficients (from the pulse)
+      dts:  (N_T,) float32 time steps
+      psi0: (K, d) complex64 initial states
+      n_squarings: static int (from the host-side amplitude envelope)
+
+    Returns: storage (N_T+1, K, d) complex64 (including ψ(t=0)).
+    """
+    K, d = psi0.shape
+    T = ops.shape[1]
+    N_T = coeffs.shape[0]
+    f32 = jnp.float32
+    h0r = jnp.real(H0).astype(f32)
+    h0i = jnp.imag(H0).astype(f32)
+    opsr = jnp.real(ops).astype(f32)
+    opsi = jnp.imag(ops).astype(f32)
+    psi0r = jnp.real(psi0).astype(f32)[:, None, :]  # (K, 1, d)
+    psi0i = jnp.imag(psi0).astype(f32)[:, None, :]
+    coeffs = jnp.asarray(coeffs, dtype=f32)
+    dts2 = jnp.asarray(dts, dtype=f32).reshape(N_T, 1)
+
+    kernel = functools.partial(
+        _fwd_kernel, degree=degree, n_squarings=int(n_squarings),
+        n_terms=T,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K, N_T),
+        in_specs=[
+            pl.BlockSpec((1, d, d), lambda k, n, *_: (k, 0, 0)),
+            pl.BlockSpec((1, d, d), lambda k, n, *_: (k, 0, 0)),
+            pl.BlockSpec((1, T, d, d), lambda k, n, *_: (k, 0, 0, 0)),
+            pl.BlockSpec((1, T, d, d), lambda k, n, *_: (k, 0, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda k, n, *_: (k, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda k, n, *_: (k, 0, 0)),
+        ],
+        out_specs=[
+            # one whole (N_T, d) slab per trajectory: the block index only
+            # depends on k, so Mosaic keeps it VMEM-resident across the
+            # sequential time steps and each step writes its row in place
+            pl.BlockSpec((1, N_T, d), lambda k, n, *_: (k, 0, 0)),
+            pl.BlockSpec((1, N_T, d), lambda k, n, *_: (k, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, d), f32),
+            pltpu.VMEM((1, d), f32),
+        ],
+    )
+    outr, outi = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((K, N_T, d), f32),
+            jax.ShapeDtypeStruct((K, N_T, d), f32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(coeffs, dts2, h0r, h0i, opsr, opsi, psi0r, psi0i)
+    ys = jnp.transpose(
+        (outr + 1j * outi).astype(jnp.complex64), (1, 0, 2)
+    )  # (N_T, K, d)
+    return jnp.concatenate(
+        [jnp.asarray(psi0)[None].astype(jnp.complex64), ys], axis=0
+    )
+
+
+def pallas_available():
+    """Whether the Pallas TPU path can run on the current default backend."""
+    import jax
+
+    return jax.devices()[0].platform in ("tpu",)

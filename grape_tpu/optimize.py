@@ -75,6 +75,16 @@ def optimize(trajectories, tlist, **kwargs):
         atexit.register(_crash_save)
         atexit_hook = _crash_save
 
+    profile_dir = kwargs.get("profile_dir", None)
+    profile_ctx = None
+    if profile_dir is not None:
+        # device-level tracing/profiling (the reference's observability is
+        # per-iteration `secs` + FG counters, src/optimize.jl:213-215; on
+        # TPU we add full jax.profiler traces of the optimization loop)
+        import jax.profiler
+
+        profile_ctx = jax.profiler.trace(profile_dir)
+        profile_ctx.__enter__()
     try:
         run_optimizer(optimizer, wrk, fg, callback, check_convergence)
     except KeyboardInterrupt:
@@ -86,6 +96,8 @@ def optimize(trajectories, tlist, **kwargs):
         if kwargs.get("verbose", False):
             traceback.print_exc()
 
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
     finalize_result(wrk)
     if atexit_hook is not None:
         import atexit
@@ -153,6 +165,12 @@ def _get_optimizer(wrk):
     if opt == "scipy-lbfgsb":
         from .optimizers.scipy_backend import ScipyLBFGSB
         return ScipyLBFGSB(wrk.kwargs)
+    if type(opt).__module__.startswith("optax") or (
+        hasattr(opt, "init") and hasattr(opt, "update")
+        and not hasattr(opt, "run")
+    ):
+        from .optimizers.optax_backend import OptaxBackend
+        return OptaxBackend(opt)
     return opt  # custom backend object with .run()
 
 

@@ -90,6 +90,7 @@ def propagate(state, generator, tlist, storage=False, backwards=False,
     psi0 = np.asarray(state, dtype=cdtype)
 
     @jax.jit
+    @jax.default_matmul_precision("highest")
     def run(eps_in):
         Mj = jnp.asarray(M)
         H0_ = jnp.asarray(H0)

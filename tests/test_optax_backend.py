@@ -1,0 +1,47 @@
+"""Optax backend tests (pluggable-optimizer parity with the reference's
+Optim.jl extension)."""
+
+import numpy as np
+import optax
+
+from grape_tpu import Trajectory, hamiltonian, optimize
+from grape_tpu.functionals import J_T_sm
+from grape_tpu.shapes import flattop
+
+
+def _tls():
+    def eps(t):
+        return 0.2 * float(flattop(t, T=5, t_rise=0.3, func="blackman"))
+
+    sz = np.array([[1, 0], [0, -1]], dtype=complex)
+    sx = np.array([[0, 1], [1, 0]], dtype=complex)
+    H = hamiltonian(-0.5 * sz, (sx, eps))
+    tlist = np.linspace(0, 5, 201)
+    return [Trajectory([1, 0], H, target_state=[0, 1])], tlist
+
+
+def test_optax_sgd_with_bounds():
+    trajs, tlist = _tls()
+    res = optimize(
+        trajs, tlist, J_T=J_T_sm, iter_stop=50,
+        optimizer=optax.sgd(learning_rate=2.0, momentum=0.9),
+        lower_bound=-0.5, upper_bound=0.5,
+        print_iters=False, rethrow_exceptions=True,
+    )
+    assert res.J_T < 0.5
+    # bound projection applied
+    N_T = len(tlist) - 1
+    from grape_tpu.controls import discretize_on_midpoints
+
+    pulse = discretize_on_midpoints(res.optimized_controls[0], tlist)
+    assert np.max(np.abs(pulse)) <= 0.5 + 1e-12
+
+
+def test_optax_adam():
+    trajs, tlist = _tls()
+    res = optimize(
+        trajs, tlist, J_T=J_T_sm, iter_stop=60,
+        optimizer=optax.adam(learning_rate=0.05),
+        print_iters=False, rethrow_exceptions=True,
+    )
+    assert res.J_T < 0.3  # adam makes steady progress (non-monotonic)

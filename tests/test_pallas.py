@@ -1,0 +1,44 @@
+"""Pallas fused forward-propagation kernel: interpret-mode correctness
+against the XLA expm path (the real-TPU path is exercised by bench.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from grape_tpu.ops.expm import expm
+from grape_tpu.ops.pallas_prop import forward_scan_pallas
+
+
+def test_forward_scan_pallas_interpret():
+    rng = np.random.default_rng(0)
+    K, d, T, N_T = 2, 8, 3, 5
+    H0 = rng.normal(size=(K, d, d))
+    H0 = (H0 + np.swapaxes(H0, -1, -2)) + 0j
+    ops = rng.normal(size=(K, T, d, d))
+    ops = (ops + np.swapaxes(ops, -1, -2)) + 0j
+    coeffs = rng.normal(size=(N_T, T)).astype(np.float32) * 0.3
+    dts = np.full(N_T, 0.1, dtype=np.float32)
+    psi0 = rng.normal(size=(K, d)) + 1j * rng.normal(size=(K, d))
+    psi0 /= np.linalg.norm(psi0, axis=1, keepdims=True)
+
+    st = np.asarray(
+        forward_scan_pallas(
+            jnp.asarray(H0, dtype=jnp.complex64),
+            jnp.asarray(ops, dtype=jnp.complex64),
+            coeffs, dts, jnp.asarray(psi0, dtype=jnp.complex64),
+            n_squarings=2, interpret=True,
+        )
+    )
+    psi = psi0.copy()
+    ref = [psi0.copy()]
+    for n in range(N_T):
+        H = H0 + np.einsum("t,ktij->kij", coeffs[n], ops)
+        U = np.asarray(expm((-1j * dts[n] * H).astype(np.complex64)))
+        psi = np.einsum("kij,kj->ki", U, psi)
+        ref.append(psi.copy())
+    assert np.max(np.abs(st - np.stack(ref))) < 1e-5
+    # norms preserved (unitary propagation)
+    assert np.allclose(
+        np.linalg.norm(st[-1], axis=-1), 1.0, atol=1e-5
+    )
