@@ -83,6 +83,8 @@ class CompiledProblem:
     has_targets: bool = False
     prop_method: str = "expprop"
     cheby_tol: float = 1e-14
+    storage_mode: str = "full"
+    storage_segments: int = 0
 
     @property
     def dt(self):
@@ -109,6 +111,8 @@ def compile_problem(
     dtype=None,
     prop_method=None,
     cheby_tol=1e-14,
+    storage_mode="full",
+    storage_segments=None,
     **_ignored,
 ):
     """Compile trajectories + tlist into a :class:`CompiledProblem`.
@@ -226,6 +230,8 @@ def compile_problem(
         has_targets=has_targets,
         prop_method=_normalize_prop_method(prop_method),
         cheby_tol=float(cheby_tol),
+        storage_mode=storage_mode,
+        storage_segments=_pick_segments(storage_mode, storage_segments, N_T),
     )
 
 
@@ -333,6 +339,129 @@ def _default_amp_max(cp: CompiledProblem):
     )
 
 
+
+def _pick_segments(storage_mode, storage_segments, N_T):
+    """Segment count for checkpoint/recompute storage: a divisor of N_T
+    near sqrt(N_T) (memory ~ 2*sqrt(N_T) states instead of N_T)."""
+    if storage_mode != "recompute":
+        return 0
+    if storage_segments:
+        if N_T % int(storage_segments) != 0:
+            raise ValueError(
+                f"storage_segments ({storage_segments}) must divide the "
+                f"number of time steps ({N_T})"
+            )
+        return int(storage_segments)
+    target = max(1, int(np.sqrt(N_T)))
+    divisors = [s for s in range(1, N_T + 1) if N_T % s == 0]
+    return min(divisors, key=lambda s: abs(s - target))
+
+
+def _make_fwd_step(cp: CompiledProblem, pd, eps):
+    """One forward step ``psi -> U_n psi`` as a traced closure."""
+    cdtype = cp.psi0.dtype
+    M_ = jnp.asarray(cp.M)
+    H0_ = jnp.asarray(cp.H0)
+    ops_ = jnp.asarray(cp.ops)
+    dt = jnp.diff(jnp.asarray(cp.tlist))
+
+    def step(psi, n):
+        coeffs = (M_[n] @ eps[:, n]).astype(cdtype)
+        H = H0_ + jnp.einsum("t,ktij->kij", coeffs, ops_)
+        if pd is None:
+            U = expm((-1j * dt[n].astype(cdtype)) * H)
+            return jnp.einsum("kij,kj->ki", U, psi)
+        d = cp.dim
+        Hn = (2.0 * H - pd["shift"] * jnp.eye(d, dtype=cdtype)) / pd["dE"]
+        return cheby_apply(
+            lambda v: jnp.einsum("kij,kj->ki", Hn, v),
+            psi, pd["tab_fw"][n], pd["ph_fw"][n],
+        )
+
+    return step
+
+
+def _make_bw_step(cp: CompiledProblem, pd, eps, rho, safe_rho):
+    """One backward gradient step as a traced closure:
+    ``(chi, n, psi_at_tn) -> (chi_new, grad_n)``."""
+    cdtype = cp.psi0.dtype
+    rdtype = cp.tlist.dtype
+    use_taylor = cp.gradient_method == "taylor"
+    dt = jnp.diff(jnp.asarray(cp.tlist))
+
+    def bw_step(chi, n, psi_prev):
+        H, mu = _step_ops(cp, n, eps[:, n], cdtype)
+        Hd = jnp.conj(jnp.swapaxes(H, -1, -2))
+        mud = jnp.conj(jnp.swapaxes(mu, -1, -2))
+        ndt = -dt[n].astype(rdtype)
+        if use_taylor:
+            chi_prime = taylor_grad_step(
+                Hd, mud, chi, ndt,
+                max_order=cp.taylor_grad_max_order,
+                tolerance=cp.taylor_grad_tolerance,
+                check_convergence=cp.taylor_grad_check_convergence,
+            )
+            if pd is None:
+                U = expm((-1j * ndt) * Hd)
+                chi_new = jnp.einsum("kij,kj->ki", U, chi)
+            else:
+                d = cp.dim
+                Hn = (
+                    2.0 * Hd - pd["shift"] * jnp.eye(d, dtype=cdtype)
+                ) / pd["dE"]
+                chi_new = cheby_apply(
+                    lambda v: jnp.einsum("kij,kj->ki", Hn, v),
+                    chi, pd["tab_bw"][n], pd["ph_bw"][n],
+                )
+        elif pd is None:
+            chi_prime, chi_new = gradgen_step(Hd, mud, chi, ndt)
+        else:
+            # Cheby gradgen: Chebyshev series in the normalized augmented
+            # ("gradient generator") operator on the extended state
+            # (χ'_1..χ'_L, χ) — background.md Eq. (gradprop-bw).
+            d = cp.dim
+            Hn = (
+                2.0 * Hd - pd["shift"] * jnp.eye(d, dtype=cdtype)
+            ) / pd["dE"]
+            mun = (2.0 / pd["dE"]) * mud
+
+            def gmatvec(v):
+                out = jnp.einsum("kij,klj->kli", Hn, v)
+                add = jnp.einsum("klij,kj->kli", mun, v[:, -1, :])
+                return out.at[:, :-1, :].add(add)
+
+            ext0 = jnp.concatenate(
+                [
+                    jnp.zeros(
+                        (cp.n_traj, cp.n_controls, d), dtype=cdtype
+                    ),
+                    chi[:, None, :],
+                ],
+                axis=1,
+            )
+            ext = cheby_apply(
+                gmatvec, ext0, pd["tab_bw"][n], pd["ph_bw"][n]
+            )
+            chi_prime = ext[:, :-1, :]
+            chi_new = ext[:, -1, :]
+        # ∇τ_{knl} = ρ_k ⟨χ'_{kl}|Ψ(t_n)⟩   (src/optimize.jl:893-895)
+        grad_n = rho[:, None].astype(cdtype) * jnp.einsum(
+            "kli,ki->kl", jnp.conj(chi_prime), psi_prev
+        )
+        if cp.xi is not None:
+            # inhomogeneity λ_b Δt_n ξ(t_n)/ρ_k at interior grid points
+            # (src/optimize.jl:897-908); skip the n == 0 endpoint.
+            w = _grid_weights(jnp.asarray(cp.tlist))[n]
+            xi_n = cp.xi(psi_prev, cp.trajectories, jnp.asarray(cp.tlist), n)
+            inhom = (
+                cp.lambda_b * w / safe_rho[:, None]
+            ).astype(cdtype) * xi_n
+            chi_new = jnp.where(n > 0, chi_new + inhom, chi_new)
+        return chi_new, grad_n
+
+    return bw_step
+
+
 def _forward(cp: CompiledProblem, pulsevals, pd=None):
     """Forward propagation storing all states.
 
@@ -407,6 +536,68 @@ def _J_parts(cp: CompiledProblem, pulsevals, storage):
     return J_T_val, J_a_val, J_b_val, tau
 
 
+def _evaluate_forward(cp: CompiledProblem, pd, pulsevals):
+    """Forward pass in either storage mode.
+
+    Returns ``(storage, checkpoints, psi_T, (J_T, J_a, J_b, tau))``:
+    ``storage (N_T+1, K, d)`` for ``storage_mode="full"`` (checkpoints None),
+    or ``checkpoints (S, K, d)`` — the state at each segment start — for
+    ``"recompute"`` (storage None), with the state running cost accumulated
+    inline.
+    """
+    eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps)).astype(
+        cp.tlist.dtype
+    )
+    tlist_j = jnp.asarray(cp.tlist)
+    if cp.storage_mode != "recompute":
+        storage = _forward(cp, pulsevals, pd)
+        J_T_val, J_a_val, J_b_val, tau = _J_parts(cp, pulsevals, storage)
+        return storage, None, storage[-1], (J_T_val, J_a_val, J_b_val, tau)
+
+    S = cp.storage_segments
+    seg_len = cp.n_timesteps // S
+    fwd_step = _make_fwd_step(cp, pd, eps)
+    w = _grid_weights(tlist_j)
+    psi0_ = jnp.asarray(cp.psi0)
+
+    def seg_fwd(carry, s):
+        psi, acc = carry
+        ckpt = psi
+
+        def inner(c2, j):
+            psi2, a2 = c2
+            n = s * seg_len + j
+            if cp.g_b is not None:
+                a2 = a2 + w[n] * jnp.sum(
+                    cp.g_b(psi2, cp.trajectories, tlist_j, n)
+                )
+            return (fwd_step(psi2, n), a2), None
+
+        (psi, acc), _ = lax.scan(inner, (psi, acc), jnp.arange(seg_len))
+        return (psi, acc), ckpt
+
+    (psi_T, gb_acc), checkpoints = lax.scan(
+        seg_fwd, (psi0_, jnp.zeros((), dtype=cp.tlist.dtype)),
+        jnp.arange(S),
+    )
+    tau = taus(psi_T, cp.trajectories) if cp.has_targets else None
+    if cp.J_T_takes_tau:
+        J_T_val = cp.J_T(psi_T, cp.trajectories, tau=tau)
+    else:
+        J_T_val = cp.J_T(psi_T, cp.trajectories)
+    zero = jnp.zeros((), dtype=J_T_val.dtype)
+    J_a_val = zero
+    if cp.J_a is not None:
+        J_a_val = cp.lambda_a * cp.J_a(pulsevals, cp.tlist)
+    J_b_val = zero
+    if cp.g_b is not None:
+        gb_acc = gb_acc + w[cp.n_timesteps] * jnp.sum(
+            cp.g_b(psi_T, cp.trajectories, tlist_j, cp.n_timesteps)
+        )
+        J_b_val = cp.lambda_b * gb_acc
+    return None, checkpoints, psi_T, (J_T_val, J_a_val, J_b_val, tau)
+
+
 def build_f(cp: CompiledProblem, amp_max=None):
     """Jitted functional-only evaluation (reference
     ``evaluate_functional``, used for line-search F-only probes)."""
@@ -415,25 +606,26 @@ def build_f(cp: CompiledProblem, amp_max=None):
     @jax.jit
     @jax.default_matmul_precision("highest")
     def f(pulsevals):
-        storage = _forward(cp, pulsevals, pd)
-        J_T_val, J_a_val, J_b_val, tau = _J_parts(cp, pulsevals, storage)
+        pulsevals = jnp.asarray(pulsevals, dtype=cp.tlist.dtype)
+        _, _, psi_T, (J_T_val, J_a_val, J_b_val, tau) = _evaluate_forward(
+            cp, pd, pulsevals
+        )
         J = J_T_val + J_a_val + J_b_val
         aux = {
             "J_parts": jnp.stack([J_T_val, J_a_val, J_b_val]),
             "tau": pack_complex(
                 tau if tau is not None else jnp.zeros(cp.n_traj)
             ),
-            "psi_T": pack_complex(storage[-1]),
+            "psi_T": pack_complex(psi_T),
         }
         return J, aux
 
     return f
 
 
-def _chi_boundary(cp: CompiledProblem, storage, tau):
+def _chi_boundary(cp: CompiledProblem, psi_T, tau):
     """``χ(T)`` including the ``λ_b (dt_NT / 2) ξ(T)`` boundary term
     (``src/optimize.jl:856-866``)."""
-    psi_T = storage[-1]
     if cp.chi_takes_tau:
         chi = cp.chi(psi_T, cp.trajectories, tau=tau)
     else:
@@ -441,7 +633,7 @@ def _chi_boundary(cp: CompiledProblem, storage, tau):
     if cp.xi is not None:
         dt_last = cp.tlist[-1] - cp.tlist[-2]
         chi = chi + cp.lambda_b * 0.5 * dt_last * cp.xi(
-            psi_T, cp.trajectories, cp.tlist, cp.n_timesteps
+            psi_T, cp.trajectories, jnp.asarray(cp.tlist), cp.n_timesteps
         )
     return chi
 
@@ -453,11 +645,17 @@ def build_fg(cp: CompiledProblem, amp_max=None):
     Returns ``fg(pulsevals_flat) -> (J, grad_flat, aux)`` with the flat
     l-major pulse layout ``[ε_11.. ε_{N_T}1, ε_12..]`` matching
     ``src/workspace.jl:158-162``.
+
+    With ``storage_mode="recompute"``, forward states are not stored in
+    full: only ``S ~ sqrt(N_T)`` segment checkpoints are kept and each
+    segment is re-propagated on the fly during the backward pass (memory
+    ``O(sqrt(N_T))`` instead of ``O(N_T)`` states — the remat policy for
+    large time grids absent from the reference, SURVEY §7).
     """
     cdtype = cp.psi0.dtype
     rdtype = cp.tlist.dtype
-    use_taylor = cp.gradient_method == "taylor"
     pd = _prop_data(cp, amp_max)
+    recompute = cp.storage_mode == "recompute"
 
     # full f32 MXU accuracy: TPU matmuls otherwise default to bf16 passes,
     # which breaks unitarity over long propagations
@@ -465,11 +663,12 @@ def build_fg(cp: CompiledProblem, amp_max=None):
     @jax.default_matmul_precision("highest")
     def fg(pulsevals):
         pulsevals = jnp.asarray(pulsevals, dtype=rdtype)
-        storage = _forward(cp, pulsevals, pd)
-        J_T_val, J_a_val, J_b_val, tau = _J_parts(cp, pulsevals, storage)
+        storage, checkpoints, psi_T, (J_T_val, J_a_val, J_b_val, tau) = (
+            _evaluate_forward(cp, pd, pulsevals)
+        )
         J = J_T_val + J_a_val + J_b_val
 
-        chi_T = _chi_boundary(cp, storage, tau).astype(cdtype)
+        chi_T = _chi_boundary(cp, psi_T, tau).astype(cdtype)
         rho = jnp.sqrt(
             jnp.sum(jnp.abs(chi_T) ** 2, axis=-1)
         )  # (K,) norms, reference :867-868
@@ -477,92 +676,49 @@ def build_fg(cp: CompiledProblem, amp_max=None):
         safe_rho = jnp.where(rho > 0, rho, 1.0)
         chi_hat = chi_T / safe_rho[:, None].astype(cdtype)
 
-        dt = jnp.diff(cp.tlist)
         eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps))
+        bw_step = _make_bw_step(cp, pd, eps, rho, safe_rho)
 
-        def bw_step(chi, n):
-            # interval n (0-based): propagate chi from t_{n+1} to t_n with
-            # U†; gradient contribution uses Ψ(t_n) from storage.
-            H, mu = _step_ops(cp, n, eps[:, n], cdtype)
-            Hd = jnp.conj(jnp.swapaxes(H, -1, -2))
-            mud = jnp.conj(jnp.swapaxes(mu, -1, -2))
-            ndt = -dt[n].astype(rdtype)
-            if use_taylor:
-                chi_prime = taylor_grad_step(
-                    Hd, mud, chi, ndt,
-                    max_order=cp.taylor_grad_max_order,
-                    tolerance=cp.taylor_grad_tolerance,
-                    check_convergence=cp.taylor_grad_check_convergence,
-                )
-                if pd is None:
-                    U = expm((-1j * ndt) * Hd)
-                    chi_new = jnp.einsum("kij,kj->ki", U, chi)
-                else:
-                    d = cp.dim
-                    Hn = (
-                        2.0 * Hd - pd["shift"] * jnp.eye(d, dtype=cdtype)
-                    ) / pd["dE"]
-                    chi_new = cheby_apply(
-                        lambda v: jnp.einsum("kij,kj->ki", Hn, v),
-                        chi, pd["tab_bw"][n], pd["ph_bw"][n],
-                    )
-            elif pd is None:
-                chi_prime, chi_new = gradgen_step(Hd, mud, chi, ndt)
-            else:
-                # Cheby gradgen: Chebyshev series in the normalized
-                # augmented ("gradient generator") operator acting on the
-                # extended state (χ'_1..χ'_L, χ) — the reference backward-
-                # propagates the same extended state under G[H†] with its
-                # piecewise propagators (background.md Eq. (gradprop-bw)).
-                d = cp.dim
-                Hn = (
-                    2.0 * Hd - pd["shift"] * jnp.eye(d, dtype=cdtype)
-                ) / pd["dE"]
-                mun = (2.0 / pd["dE"]) * mud
+        if not recompute:
+            def bw_body(chi, n):
+                return bw_step(chi, n, storage[n])
 
-                def gmatvec(v):
-                    # v (K, L+1, d); last slot is χ
-                    out = jnp.einsum("kij,klj->kli", Hn, v)
-                    add = jnp.einsum(
-                        "klij,kj->kli", mun, v[:, -1, :]
-                    )
-                    return out.at[:, :-1, :].add(add)
+            ns = jnp.arange(cp.n_timesteps - 1, -1, -1)
+            _, grads_rev = lax.scan(bw_body, chi_hat, ns)
+            tau_grads = grads_rev[::-1]  # (N_T, K, L)
+        else:
+            S = cp.storage_segments
+            seg_len = cp.n_timesteps // S
+            fwd_step = _make_fwd_step(cp, pd, eps)
 
-                ext0 = jnp.concatenate(
-                    [
-                        jnp.zeros(
-                            (cp.n_traj, cp.n_controls, d), dtype=cdtype
-                        ),
-                        chi[:, None, :],
-                    ],
-                    axis=1,
+            def seg_bwd(chi, s):
+                # recompute the forward states of segment s from its
+                # checkpoint, then run the backward gradient steps over it
+                def inner_fwd(psi2, j):
+                    n = s * seg_len + j
+                    return fwd_step(psi2, n), psi2  # store Ψ(t_n)
+
+                _, seg_psis = lax.scan(
+                    inner_fwd, checkpoints[s], jnp.arange(seg_len)
                 )
-                ext = cheby_apply(
-                    gmatvec, ext0, pd["tab_bw"][n], pd["ph_bw"][n]
+
+                def inner_bwd(chi2, jj):
+                    n = s * seg_len + jj
+                    return bw_step(chi2, n, seg_psis[jj])
+
+                chi, grads_rev = lax.scan(
+                    inner_bwd, chi, jnp.arange(seg_len - 1, -1, -1)
                 )
-                chi_prime = ext[:, :-1, :]
-                chi_new = ext[:, -1, :]
-            psi_prev = storage[n]  # Ψ(t_n)
-            # ∇τ_{knl} = ρ_k ⟨χ'_{kl}|Ψ(t_n)⟩   (src/optimize.jl:893-895)
-            grad_n = rho[:, None].astype(cdtype) * jnp.einsum(
-                "kli,ki->kl", jnp.conj(chi_prime), psi_prev
+                return chi, grads_rev
+
+            _, seg_grads = lax.scan(
+                seg_bwd, chi_hat, jnp.arange(S - 1, -1, -1)
             )
-            if cp.xi is not None:
-                # inhomogeneity λ_b Δt_n ξ(t_n)/ρ_k at interior grid points
-                # (src/optimize.jl:897-908); grid point n is interior iff
-                # 1 <= n <= N_T-1, i.e. skip n == 0.
-                w = _grid_weights(cp.tlist)[n]
-                xi_n = cp.xi(storage[n], cp.trajectories, cp.tlist, n)
-                inhom = (
-                    cp.lambda_b * w / safe_rho[:, None]
-                ).astype(cdtype) * xi_n
-                chi_new = jnp.where(n > 0, chi_new + inhom, chi_new)
-            return chi_new, grad_n
+            # (S, seg_len, K, L), segments and steps both reversed
+            tau_grads = seg_grads[::-1, ::-1].reshape(
+                cp.n_timesteps, cp.n_traj, cp.n_controls
+            )
 
-        ns = jnp.arange(cp.n_timesteps - 1, -1, -1)
-        _, grads_rev = lax.scan(bw_step, chi_hat, ns)
-        # grads_rev: (N_T, K, L) in reversed time order
-        tau_grads = grads_rev[::-1]  # (N_T, K, L)
         grad_Tb = -2.0 * jnp.real(jnp.sum(tau_grads, axis=1))  # (N_T, L)
         grad_Tb_flat = grad_Tb.T.reshape(-1)  # l-major flat layout
         grad = grad_Tb_flat
@@ -580,7 +736,7 @@ def build_fg(cp: CompiledProblem, amp_max=None):
             "tau": pack_complex(
                 tau if tau is not None else jnp.zeros(cp.n_traj)
             ),
-            "psi_T": pack_complex(storage[-1]),
+            "psi_T": pack_complex(psi_T),
             "chi_ok": chi_ok,
             "chi_norms": rho,
         }
