@@ -40,6 +40,8 @@ from .functionals import accepts_tau, make_chi, make_grad_J_a, make_xi, taus
 from .ops.cheby import cheby_apply, cheby_coeffs, spectral_envelope
 from .ops.expm import expm
 from .ops.frechet import gradgen_step, taylor_grad_step
+from .ops.newton import arnoldi_expmv
+from .ops.pallas_prop import forward_scan_pallas
 
 __all__ = ["CompiledProblem", "compile_problem", "build_fg", "build_f"]
 
@@ -82,9 +84,15 @@ class CompiledProblem:
     chi_takes_tau: bool = False
     has_targets: bool = False
     prop_method: str = "expprop"
+    fw_prop_method: str = "expprop"
+    bw_prop_method: str = "expprop"
+    grad_prop_method: str = "expprop"
     cheby_tol: float = 1e-14
     storage_mode: str = "full"
     storage_segments: int = 0
+    use_pallas: Any = "auto"
+    newton_m: int = 30
+    newton_substeps: int = 1
 
     @property
     def dt(self):
@@ -110,9 +118,15 @@ def compile_problem(
     chi_min_norm=1e-100,
     dtype=None,
     prop_method=None,
+    fw_prop_method=None,
+    bw_prop_method=None,
+    grad_prop_method=None,
     cheby_tol=1e-14,
     storage_mode="full",
     storage_segments=None,
+    use_pallas="auto",
+    newton_m=30,
+    newton_substeps=1,
     **_ignored,
 ):
     """Compile trajectories + tlist into a :class:`CompiledProblem`.
@@ -229,9 +243,21 @@ def compile_problem(
         chi_takes_tau=accepts_tau(chi) and has_targets,
         has_targets=has_targets,
         prop_method=_normalize_prop_method(prop_method),
+        fw_prop_method=_normalize_prop_method(
+            fw_prop_method if fw_prop_method is not None else prop_method
+        ),
+        bw_prop_method=_normalize_prop_method(
+            bw_prop_method if bw_prop_method is not None else prop_method
+        ),
+        grad_prop_method=_normalize_prop_method(
+            grad_prop_method if grad_prop_method is not None else prop_method
+        ),
         cheby_tol=float(cheby_tol),
         storage_mode=storage_mode,
         storage_segments=_pick_segments(storage_mode, storage_segments, N_T),
+        use_pallas=use_pallas,
+        newton_m=int(newton_m),
+        newton_substeps=int(newton_substeps),
     )
 
 
@@ -274,6 +300,8 @@ def _normalize_prop_method(prop_method):
         return "expprop"
     if name in ("cheby", "chebyshev", "chebychev"):
         return "cheby"
+    if name in ("newton", "krylov", "arnoldi"):
+        return "newton"
     raise ValueError(f"Unknown prop_method: {prop_method!r}")
 
 
@@ -323,12 +351,34 @@ def _cheby_data(cp: CompiledProblem, amp_max):
     }
 
 
-def _prop_data(cp: CompiledProblem, amp_max=None):
-    if cp.prop_method == "cheby":
+def _prop_data_for(cp: CompiledProblem, method, amp_max=None, cache=None):
+    if cache is not None and method in cache:
+        return cache[method]
+    if method == "cheby":
         if amp_max is None:
             amp_max = 2.0 * _default_amp_max(cp)
-        return _cheby_data(cp, amp_max)
-    return None
+        pd = _cheby_data(cp, amp_max)
+        pd["kind"] = "cheby"
+    elif method == "newton":
+        pd = {"kind": "newton", "m": cp.newton_m,
+              "substeps": cp.newton_substeps}
+    else:
+        pd = None
+    if cache is not None:
+        cache[method] = pd
+    return pd
+
+
+def _prop_data(cp: CompiledProblem, amp_max=None):
+    # Per-direction propagator data following the reference prefix
+    # override chain (prop_ < fw_prop_/bw_prop_/grad_prop_,
+    # src/docstring.jl:201-225).
+    cache = {}
+    return {
+        "fw": _prop_data_for(cp, cp.fw_prop_method, amp_max, cache),
+        "bw": _prop_data_for(cp, cp.bw_prop_method, amp_max, cache),
+        "grad": _prop_data_for(cp, cp.grad_prop_method, amp_max, cache),
+    }
 
 
 def _default_amp_max(cp: CompiledProblem):
@@ -357,8 +407,9 @@ def _pick_segments(storage_mode, storage_segments, N_T):
     return min(divisors, key=lambda s: abs(s - target))
 
 
-def _make_fwd_step(cp: CompiledProblem, pd, eps):
+def _make_fwd_step(cp: CompiledProblem, pds, eps):
     """One forward step ``psi -> U_n psi`` as a traced closure."""
+    pd = pds["fw"] if isinstance(pds, dict) and "fw" in pds else pds
     cdtype = cp.psi0.dtype
     M_ = jnp.asarray(cp.M)
     H0_ = jnp.asarray(cp.H0)
@@ -371,6 +422,12 @@ def _make_fwd_step(cp: CompiledProblem, pd, eps):
         if pd is None:
             U = expm((-1j * dt[n].astype(cdtype)) * H)
             return jnp.einsum("kij,kj->ki", U, psi)
+        if pd["kind"] == "newton":
+            a = (-1j * dt[n]).astype(cdtype)
+            return arnoldi_expmv(
+                lambda v: a * jnp.einsum("kij,kj->ki", H, v),
+                psi, m=pd["m"], substeps=pd["substeps"],
+            )
         d = cp.dim
         Hn = (2.0 * H - pd["shift"] * jnp.eye(d, dtype=cdtype)) / pd["dE"]
         return cheby_apply(
@@ -381,9 +438,15 @@ def _make_fwd_step(cp: CompiledProblem, pd, eps):
     return step
 
 
-def _make_bw_step(cp: CompiledProblem, pd, eps, rho, safe_rho):
+def _make_bw_step(cp: CompiledProblem, pds, eps, rho, safe_rho):
     """One backward gradient step as a traced closure:
-    ``(chi, n, psi_at_tn) -> (chi_new, grad_n)``."""
+    ``(chi, n, psi_at_tn) -> (chi_new, grad_n)``.
+
+    The co-state propagation uses the ``bw`` propagator; the gradgen
+    extended-state propagation uses the ``grad`` propagator (the
+    reference prefixes ``bw_prop_`` / ``grad_prop_``)."""
+    pd_bw = pds["bw"] if isinstance(pds, dict) and "bw" in pds else pds
+    pd = pds["grad"] if isinstance(pds, dict) and "grad" in pds else pds
     cdtype = cp.psi0.dtype
     rdtype = cp.tlist.dtype
     use_taylor = cp.gradient_method == "taylor"
@@ -401,20 +464,53 @@ def _make_bw_step(cp: CompiledProblem, pd, eps, rho, safe_rho):
                 tolerance=cp.taylor_grad_tolerance,
                 check_convergence=cp.taylor_grad_check_convergence,
             )
-            if pd is None:
+            if pd_bw is None:
                 U = expm((-1j * ndt) * Hd)
                 chi_new = jnp.einsum("kij,kj->ki", U, chi)
+            elif pd_bw["kind"] == "newton":
+                a = (-1j * ndt).astype(cdtype)
+                chi_new = arnoldi_expmv(
+                    lambda v: a * jnp.einsum("kij,kj->ki", Hd, v),
+                    chi, m=pd_bw["m"], substeps=pd_bw["substeps"],
+                )
             else:
                 d = cp.dim
                 Hn = (
-                    2.0 * Hd - pd["shift"] * jnp.eye(d, dtype=cdtype)
-                ) / pd["dE"]
+                    2.0 * Hd - pd_bw["shift"] * jnp.eye(d, dtype=cdtype)
+                ) / pd_bw["dE"]
                 chi_new = cheby_apply(
                     lambda v: jnp.einsum("kij,kj->ki", Hn, v),
-                    chi, pd["tab_bw"][n], pd["ph_bw"][n],
+                    chi, pd_bw["tab_bw"][n], pd_bw["ph_bw"][n],
                 )
         elif pd is None:
             chi_prime, chi_new = gradgen_step(Hd, mud, chi, ndt)
+        elif pd["kind"] == "newton":
+            # gradgen via the augmented ("gradient generator") operator
+            # under the Krylov propagator: matvec of G[H†] on the flattened
+            # extended state (χ'_1..χ'_L, χ)
+            d = cp.dim
+            L = cp.n_controls
+            a = (-1j * ndt).astype(cdtype)
+
+            def aug_mv(vflat):
+                v = vflat.reshape(cp.n_traj, L + 1, d)
+                out = jnp.einsum("kij,klj->kli", Hd, v)
+                add = jnp.einsum("klij,kj->kli", mud, v[:, -1, :])
+                out = out.at[:, :-1, :].add(add)
+                return (a * out).reshape(cp.n_traj, (L + 1) * d)
+
+            ext0 = jnp.concatenate(
+                [
+                    jnp.zeros((cp.n_traj, L, d), dtype=cdtype),
+                    chi[:, None, :],
+                ],
+                axis=1,
+            ).reshape(cp.n_traj, (L + 1) * d)
+            ext = arnoldi_expmv(
+                aug_mv, ext0, m=pd["m"], substeps=pd["substeps"]
+            ).reshape(cp.n_traj, L + 1, d)
+            chi_prime = ext[:, :-1, :]
+            chi_new = ext[:, -1, :]
         else:
             # Cheby gradgen: Chebyshev series in the normalized augmented
             # ("gradient generator") operator on the extended state
@@ -462,7 +558,7 @@ def _make_bw_step(cp: CompiledProblem, pd, eps, rho, safe_rho):
     return bw_step
 
 
-def _forward(cp: CompiledProblem, pulsevals, pd=None):
+def _forward(cp: CompiledProblem, pulsevals, pds=None):
     """Forward propagation storing all states.
 
     Returns ``storage (N_T+1, K, d)`` — the reference's per-trajectory
@@ -470,6 +566,7 @@ def _forward(cp: CompiledProblem, pulsevals, pd=None):
     ``pd`` is the static propagator data (None for ExpProp, the Chebyshev
     coefficient tables for Cheby).
     """
+    pd = pds["fw"] if isinstance(pds, dict) and "fw" in pds else pds
     cdtype = cp.psi0.dtype
     M_ = jnp.asarray(cp.M)
     H0_ = jnp.asarray(cp.H0)
@@ -487,6 +584,12 @@ def _forward(cp: CompiledProblem, pulsevals, pd=None):
         if pd is None:
             U = expm((-1j * dt[n].astype(cdtype)) * H)
             psi_new = jnp.einsum("kij,kj->ki", U, psi)
+        elif pd["kind"] == "newton":
+            a = (-1j * dt[n]).astype(cdtype)
+            psi_new = arnoldi_expmv(
+                lambda v: a * jnp.einsum("kij,kj->ki", H, v),
+                psi, m=pd["m"], substeps=pd["substeps"],
+            )
         else:
             d = cp.dim
             Hn = (2.0 * H - pd["shift"] * jnp.eye(d, dtype=cdtype)) / pd["dE"]
@@ -536,6 +639,50 @@ def _J_parts(cp: CompiledProblem, pulsevals, storage):
     return J_T_val, J_a_val, J_b_val, tau
 
 
+
+def _pallas_forward_enabled(cp: CompiledProblem, pds):
+    """Use the fused Pallas forward kernel when it applies: TPU backend,
+    ExpProp, complex64, full storage."""
+    pd_fw = pds["fw"] if isinstance(pds, dict) and "fw" in pds else pds
+    if cp.use_pallas is False or pd_fw is not None:
+        return False
+    if cp.storage_mode == "recompute":
+        return False
+    if cp.psi0.dtype != np.complex64:
+        return False
+    import jax as _jax
+
+    on_tpu = _jax.devices()[0].platform == "tpu"
+    if cp.use_pallas == "auto":
+        return on_tpu
+    return bool(cp.use_pallas)
+
+
+def _pallas_squarings(cp: CompiledProblem, amp_max=None):
+    """Static squaring count from the host-side amplitude envelope:
+    ||A_n||_1 <= dt_max * (||H0||_1 + sum_j cmax_j ||Op_j||_1)."""
+    if amp_max is None:
+        amp_max = 2.0 * _default_amp_max(cp)
+    M = np.asarray(cp.M)
+    cmax = np.einsum("ntl,l->nt", np.abs(M), np.asarray(amp_max)).max(axis=0)
+    h0n = max(
+        float(np.abs(np.asarray(cp.H0[k])).sum(axis=0).max())
+        for k in range(cp.n_traj)
+    )
+    opn = [
+        max(
+            float(np.abs(np.asarray(cp.ops[k, j])).sum(axis=0).max())
+            for k in range(cp.n_traj)
+        )
+        for j in range(cp.ops.shape[1])
+    ]
+    dt_max = float(np.max(np.diff(np.asarray(cp.tlist))))
+    coupling = float(np.dot(cmax, opn)) if opn else 0.0
+    bound = dt_max * (h0n + coupling)
+    theta = 2.0
+    return max(0, int(np.ceil(np.log2(max(bound, 1e-30) / theta))))
+
+
 def _evaluate_forward(cp: CompiledProblem, pd, pulsevals):
     """Forward pass in either storage mode.
 
@@ -550,7 +697,17 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals):
     )
     tlist_j = jnp.asarray(cp.tlist)
     if cp.storage_mode != "recompute":
-        storage = _forward(cp, pulsevals, pd)
+        if _pallas_forward_enabled(cp, pd):
+            coeffs = jnp.einsum(
+                "ntl,ln->nt", jnp.asarray(cp.M), eps
+            ).astype(jnp.float32)
+            dts = jnp.diff(tlist_j).astype(jnp.float32)
+            storage = forward_scan_pallas(
+                cp.H0, cp.ops, coeffs, dts, cp.psi0,
+                n_squarings=_pallas_squarings(cp),
+            )
+        else:
+            storage = _forward(cp, pulsevals, pd)
         J_T_val, J_a_val, J_b_val, tau = _J_parts(cp, pulsevals, storage)
         return storage, None, storage[-1], (J_T_val, J_a_val, J_b_val, tau)
 

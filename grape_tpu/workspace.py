@@ -34,7 +34,11 @@ class GrapeWrk:
         self.cp = compile_problem(trajectories, tlist, **self.kwargs)
         self._amp_bucket = None
         self._program_cache = {}
-        if self.cp.prop_method == "cheby":
+        uses_cheby = "cheby" in (
+            self.cp.fw_prop_method, self.cp.bw_prop_method,
+            self.cp.grad_prop_method,
+        )
+        if uses_cheby:
             # Chebyshev coefficient tables are static under jit, so the
             # amplitude envelope is bucketed to powers of two and programs
             # are re-jitted only when the optimizer pushes a pulse beyond
