@@ -16,6 +16,7 @@ and functionals library.
 from .amplitudes import ShapedAmplitude
 from .controls import discretize, discretize_on_midpoints, get_controls
 from .generators import Generator, hamiltonian, liouvillian
+from .interfaces import check_generator, check_problem, check_state
 from .io import load_optimization, load_result, optimize_or_load, save_result
 from .optimize import optimize, optimize_problem
 from .propagate import propagate, substitute
@@ -35,6 +36,7 @@ __all__ = [
     "ShapedAmplitude", "discretize", "discretize_on_midpoints",
     "get_controls", "functionals", "shapes", "propagate", "substitute",
     "save_result", "load_result", "optimize_or_load", "load_optimization",
+    "check_state", "check_generator", "check_problem",
     "GrapeWrk", "step_width", "search_direction", "norm_search", "gradient",
     "pulse_update", "vec_angle",
 ]

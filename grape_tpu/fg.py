@@ -201,11 +201,16 @@ def compile_problem(
         chi = make_chi(J_T, trajectories)
     if J_a is not None and grad_J_a is None:
         grad_J_a = make_grad_J_a(J_a, tlist)
+    if lambda_b == 0 and g_b is not None:
+        # reference sanity warning (src/workspace.jl:316-320)
+        import warnings
+        warnings.warn("Argument `g_b` was given with `lambda_b = 0.0`. Ignoring")
+        g_b = None
     if g_b is not None and xi is None:
         xi = make_xi(g_b, trajectories)
     if g_b is None and xi is not None:
         import warnings
-        warnings.warn("`xi` without `g_b` is ignored")
+        warnings.warn("Argument `xi` was given without `g_b`. Ignoring")
         xi = None
 
     rdtype = real_dtype(cdtype)

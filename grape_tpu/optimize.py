@@ -49,6 +49,11 @@ def optimize(trajectories, tlist, **kwargs):
     callback = _wrap_callback(kwargs)
     check_convergence = kwargs.get("check_convergence", lambda res: res)
 
+    if kwargs.get("check", True):
+        from .interfaces import check_problem
+
+        check_problem(trajectories, tlist)
+
     wrk = GrapeWrk(trajectories, tlist, kwargs)
 
     if wrk.cp.J_a is None and "grad_J_a" in kwargs:
