@@ -16,6 +16,7 @@ and functionals library.
 from .amplitudes import ShapedAmplitude
 from .controls import discretize, discretize_on_midpoints, get_controls
 from .generators import Generator, hamiltonian, liouvillian
+from .info_table import make_grape_print_iters
 from .interfaces import check_generator, check_problem, check_state
 from .io import load_optimization, load_result, optimize_or_load, save_result
 from .optimize import optimize, optimize_problem
@@ -37,6 +38,7 @@ __all__ = [
     "get_controls", "functionals", "shapes", "propagate", "substitute",
     "save_result", "load_result", "optimize_or_load", "load_optimization",
     "check_state", "check_generator", "check_problem",
+    "make_grape_print_iters",
     "GrapeWrk", "step_width", "search_direction", "norm_search", "gradient",
     "pulse_update", "vec_angle",
 ]

@@ -193,6 +193,14 @@ def compile_problem(
             raise ValueError(
                 "all trajectories must couple terms to the same controls"
             )
+        other_shapes = g.term_shapes(tlist)
+        for j in range(n_terms):
+            if not np.allclose(other_shapes[j], shapes[j]):
+                raise ValueError(
+                    "all trajectories must use the same amplitude shapes "
+                    f"(term {j} differs); encode per-trajectory variations "
+                    "in the operators instead"
+                )
 
     psi0 = np.stack([t.initial_state for t in trajectories]).astype(cdtype)
     has_targets = all(t.target_state is not None for t in trajectories)
@@ -201,14 +209,16 @@ def compile_problem(
         chi = make_chi(J_T, trajectories)
     if J_a is not None and grad_J_a is None:
         grad_J_a = make_grad_J_a(J_a, tlist)
+    g_b_given = g_b is not None
     if lambda_b == 0 and g_b is not None:
         # reference sanity warning (src/workspace.jl:316-320)
         import warnings
         warnings.warn("Argument `g_b` was given with `lambda_b = 0.0`. Ignoring")
         g_b = None
+        xi = None
     if g_b is not None and xi is None:
         xi = make_xi(g_b, trajectories)
-    if g_b is None and xi is not None:
+    if not g_b_given and xi is not None:
         import warnings
         warnings.warn("Argument `xi` was given without `g_b`. Ignoring")
         xi = None
@@ -277,13 +287,6 @@ def pack_complex(x):
 def unpack_complex(arr):
     arr = np.asarray(arr)
     return arr[0] + 1j * arr[1]
-
-
-def _hamiltonian_at(cp: CompiledProblem, eps_n):
-    """``H_kn (K, d, d)`` for interval coefficients ``eps_n (L,)``."""
-    if cp.ops.shape[1] == 0:
-        return cp.H0
-    return cp.H0, eps_n  # placeholder (not used; see _step_ham)
 
 
 def _step_ops(cp: CompiledProblem, n, eps_n, cdtype):
@@ -383,6 +386,7 @@ def _prop_data(cp: CompiledProblem, amp_max=None):
         "fw": _prop_data_for(cp, cp.fw_prop_method, amp_max, cache),
         "bw": _prop_data_for(cp, cp.bw_prop_method, amp_max, cache),
         "grad": _prop_data_for(cp, cp.grad_prop_method, amp_max, cache),
+        "amp_max": amp_max,
     }
 
 
@@ -462,12 +466,14 @@ def _make_bw_step(cp: CompiledProblem, pds, eps, rho, safe_rho):
         Hd = jnp.conj(jnp.swapaxes(H, -1, -2))
         mud = jnp.conj(jnp.swapaxes(mu, -1, -2))
         ndt = -dt[n].astype(rdtype)
+        taylor_ok = jnp.asarray(True)
         if use_taylor:
-            chi_prime = taylor_grad_step(
+            chi_prime, taylor_ok = taylor_grad_step(
                 Hd, mud, chi, ndt,
                 max_order=cp.taylor_grad_max_order,
                 tolerance=cp.taylor_grad_tolerance,
                 check_convergence=cp.taylor_grad_check_convergence,
+                with_status=True,
             )
             if pd_bw is None:
                 U = expm((-1j * ndt) * Hd)
@@ -558,7 +564,7 @@ def _make_bw_step(cp: CompiledProblem, pds, eps, rho, safe_rho):
                 cp.lambda_b * w / safe_rho[:, None]
             ).astype(cdtype) * xi_n
             chi_new = jnp.where(n > 0, chi_new + inhom, chi_new)
-        return chi_new, grad_n
+        return chi_new, (grad_n, taylor_ok)
 
     return bw_step
 
@@ -568,40 +574,15 @@ def _forward(cp: CompiledProblem, pulsevals, pds=None):
 
     Returns ``storage (N_T+1, K, d)`` — the reference's per-trajectory
     ``fw_storage`` (``src/workspace.jl:215``, ``src/optimize.jl:731-738``).
-    ``pd`` is the static propagator data (None for ExpProp, the Chebyshev
-    coefficient tables for Cheby).
     """
-    pd = pds["fw"] if isinstance(pds, dict) and "fw" in pds else pds
-    cdtype = cp.psi0.dtype
-    M_ = jnp.asarray(cp.M)
-    H0_ = jnp.asarray(cp.H0)
-    ops_ = jnp.asarray(cp.ops)
     psi0_ = jnp.asarray(cp.psi0)
-    dt = jnp.diff(jnp.asarray(cp.tlist))
     eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps)).astype(
         cp.tlist.dtype
     )
+    fwd_step = _make_fwd_step(cp, pds, eps)
 
     def step(psi, n):
-        Mn = M_[n]
-        coeffs = (Mn @ eps[:, n]).astype(cdtype)
-        H = H0_ + jnp.einsum("t,ktij->kij", coeffs, ops_)
-        if pd is None:
-            U = expm((-1j * dt[n].astype(cdtype)) * H)
-            psi_new = jnp.einsum("kij,kj->ki", U, psi)
-        elif pd["kind"] == "newton":
-            a = (-1j * dt[n]).astype(cdtype)
-            psi_new = arnoldi_expmv(
-                lambda v: a * jnp.einsum("kij,kj->ki", H, v),
-                psi, m=pd["m"], substeps=pd["substeps"],
-            )
-        else:
-            d = cp.dim
-            Hn = (2.0 * H - pd["shift"] * jnp.eye(d, dtype=cdtype)) / pd["dE"]
-            psi_new = cheby_apply(
-                lambda v: jnp.einsum("kij,kj->ki", Hn, v),
-                psi, pd["tab_fw"][n], pd["ph_fw"][n],
-            )
+        psi_new = fwd_step(psi, n)
         return psi_new, psi_new
 
     _, ys = lax.scan(step, psi0_, jnp.arange(cp.n_timesteps))
@@ -634,10 +615,11 @@ def _J_parts(cp: CompiledProblem, pulsevals, storage):
         J_a_val = cp.lambda_a * cp.J_a(pulsevals, cp.tlist)
     J_b_val = zero
     if cp.g_b is not None:
-        w = _grid_weights(cp.tlist)
+        tlist_j = jnp.asarray(cp.tlist)
+        w = _grid_weights(tlist_j)
 
         def gb_at(n):
-            return cp.g_b(storage[n], cp.trajectories, cp.tlist, n)
+            return cp.g_b(storage[n], cp.trajectories, tlist_j, n)
 
         gvals = jax.vmap(gb_at)(jnp.arange(cp.n_timesteps + 1))  # (N_T+1, K)
         J_b_val = cp.lambda_b * jnp.sum(w[:, None] * gvals)
@@ -703,13 +685,16 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals):
     tlist_j = jnp.asarray(cp.tlist)
     if cp.storage_mode != "recompute":
         if _pallas_forward_enabled(cp, pd):
+            amp_max = (
+                pd.get("amp_max") if isinstance(pd, dict) else None
+            )
             coeffs = jnp.einsum(
                 "ntl,ln->nt", jnp.asarray(cp.M), eps
             ).astype(jnp.float32)
             dts = jnp.diff(tlist_j).astype(jnp.float32)
             storage = forward_scan_pallas(
                 cp.H0, cp.ops, coeffs, dts, cp.psi0,
-                n_squarings=_pallas_squarings(cp),
+                n_squarings=_pallas_squarings(cp, amp_max),
             )
         else:
             storage = _forward(cp, pulsevals, pd)
@@ -846,8 +831,9 @@ def build_fg(cp: CompiledProblem, amp_max=None):
                 return bw_step(chi, n, storage[n])
 
             ns = jnp.arange(cp.n_timesteps - 1, -1, -1)
-            _, grads_rev = lax.scan(bw_body, chi_hat, ns)
+            _, (grads_rev, taylor_oks) = lax.scan(bw_body, chi_hat, ns)
             tau_grads = grads_rev[::-1]  # (N_T, K, L)
+            taylor_ok_all = jnp.all(taylor_oks)
         else:
             S = cp.storage_segments
             seg_len = cp.n_timesteps // S
@@ -868,14 +854,15 @@ def build_fg(cp: CompiledProblem, amp_max=None):
                     n = s * seg_len + jj
                     return bw_step(chi2, n, seg_psis[jj])
 
-                chi, grads_rev = lax.scan(
+                chi, (grads_rev, t_oks) = lax.scan(
                     inner_bwd, chi, jnp.arange(seg_len - 1, -1, -1)
                 )
-                return chi, grads_rev
+                return chi, (grads_rev, jnp.all(t_oks))
 
-            _, seg_grads = lax.scan(
+            _, (seg_grads, seg_oks) = lax.scan(
                 seg_bwd, chi_hat, jnp.arange(S - 1, -1, -1)
             )
+            taylor_ok_all = jnp.all(seg_oks)
             # (S, seg_len, K, L), segments and steps both reversed
             tau_grads = seg_grads[::-1, ::-1].reshape(
                 cp.n_timesteps, cp.n_traj, cp.n_controls
@@ -900,6 +887,7 @@ def build_fg(cp: CompiledProblem, amp_max=None):
             ),
             "psi_T": pack_complex(psi_T),
             "chi_ok": chi_ok,
+            "taylor_ok": taylor_ok_all,
             "chi_norms": rho,
         }
         return J, grad, aux

@@ -582,8 +582,12 @@ struct LbfgsbState {
         if (g0 >= 0.0 || dnorm == 0.0) {
             if (std::getenv("LBFGSB_DEBUG"))
                 std::fprintf(stderr, "RESET: fallback g0=%.3g dnorm=%.3g\n", g0, dnorm);
-            // fall back to projected steepest descent
+            // fall back to projected steepest descent; the stored columns
+            // must be cleared along with ncorr or later push_backs would be
+            // misindexed against stale pairs
             ncorr = 0;
+            Scols.clear();
+            Ycols.clear();
             theta = 1.0;
             for (int i = 0; i < n; ++i) d[i] = proj(x[i] - g[i], i) - x[i];
             dnorm = std::sqrt(dot(d.data(), d.data(), n));

@@ -77,7 +77,7 @@ def gradgen_step(H, mu, chi, dt):
 
 
 def taylor_grad_step(H, mu, chi, dt, max_order=100, tolerance=1e-16,
-                     check_convergence=True):
+                     check_convergence=True, with_status=False):
     """Taylor-series evaluation of ``(∂/∂ε exp(-1j H dt)) @ chi``.
 
     Recursion (reference ``src/optimize.jl:604-653`` / Kuprov & Rogers (20)):
@@ -125,5 +125,12 @@ def taylor_grad_step(H, mu, chi, dt, max_order=100, tolerance=1e-16,
         return (m + 1, Hm_chi, phi, acc_new, coeff, done)
 
     init = (jnp.asarray(2), Hchi0, phi1, acc, coeff, jnp.asarray(False))
-    _, _, _, acc, _, _ = lax.while_loop(cond, body, init)
+    m_final, _, _, acc, _, done = lax.while_loop(cond, body, init)
+    if with_status:
+        # converged iff the tolerance stop fired (not the max_order cap);
+        # the reference raises on non-convergence (src/optimize.jl:640-646)
+        converged = jnp.logical_or(
+            jnp.logical_not(jnp.asarray(check_convergence)), done
+        )
+        return acc, converged
     return acc

@@ -100,9 +100,10 @@ def optimize(trajectories, tlist, **kwargs):
         wrk.result.message = f"Exception: {exc}"
         if kwargs.get("verbose", False):
             traceback.print_exc()
+    finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
 
-    if profile_ctx is not None:
-        profile_ctx.__exit__(None, None, None)
     finalize_result(wrk)
     if atexit_hook is not None:
         import atexit

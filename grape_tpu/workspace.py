@@ -38,7 +38,18 @@ class GrapeWrk:
             self.cp.fw_prop_method, self.cp.bw_prop_method,
             self.cp.grad_prop_method,
         )
-        if uses_cheby:
+        from .fg import _pallas_forward_enabled
+
+        uses_pallas = (
+            self.cp.fw_prop_method == "expprop"
+            and self.cp.storage_mode != "recompute"
+            and _pallas_forward_enabled(self.cp, None)
+        )
+        if uses_cheby or uses_pallas:
+            # amplitude-envelope bucketing: the Chebyshev coefficient
+            # tables AND the Pallas kernel's static squaring count are both
+            # derived from the envelope, so programs re-jit when the
+            # optimizer pushes pulses past the current bucket
             # Chebyshev coefficient tables are static under jit, so the
             # amplitude envelope is bucketed to powers of two and programs
             # are re-jitted only when the optimizer pushes a pulse beyond
@@ -179,6 +190,13 @@ class GrapeWrk:
         self.J_parts[:] = np.asarray(aux["J_parts"], dtype=np.float64)
         self.tau_vals[:] = unpack_complex(aux["tau"])
         self.states = unpack_complex(aux["psi_T"])
+        if not bool(aux.get("taylor_ok", True)):
+            raise RuntimeError(
+                "Taylor gradient series did not converge within "
+                f"max_order={self.cp.taylor_grad_max_order} terms "
+                f"(tolerance={self.cp.taylor_grad_tolerance}); decrease the "
+                "time step or increase taylor_grad_max_order"
+            )
         if not bool(aux["chi_ok"]):
             raise RuntimeError(
                 f"The norm of a state χ(T) is below chi_min_norm="

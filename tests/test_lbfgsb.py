@@ -199,3 +199,28 @@ def test_grape_introspection():
     for angle, resid in checks:
         assert angle < 1e-8
         assert resid < 1e-8
+
+
+def test_lbfgsb_trace_output(capsys):
+    """lbfgsb_iprint=100 dumps a per-iteration optimizer trace
+    (`ext/GRAPELBFGSBExt.jl:29-30,150-192` analog)."""
+    from grape_tpu import Trajectory, hamiltonian, optimize
+    from grape_tpu.functionals import J_T_sm
+    from grape_tpu.shapes import flattop
+
+    def eps(t):
+        return 0.2 * float(flattop(t, T=5, t_rise=0.3, func="blackman"))
+
+    sz = np.array([[1, 0], [0, -1]], dtype=complex)
+    sx = np.array([[0, 1], [1, 0]], dtype=complex)
+    H = hamiltonian(-0.5 * sz, (sx, eps))
+    tlist = np.linspace(0, 5, 101)
+    traj = Trajectory([1, 0], H, target_state=[0, 1])
+    optimize(
+        [traj], tlist, iter_stop=2, J_T=J_T_sm, lbfgsb_iprint=100,
+        rethrow_exceptions=True, print_iters=False,
+    )
+    out = capsys.readouterr().out
+    assert "LBFGSB>" in out
+    assert "step_width=" in out
+    assert "|proj g|=" in out
