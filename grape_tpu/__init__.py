@@ -13,7 +13,7 @@ Public API (reference ``src/GRAPE.jl:13-17`` / ``docs/src/api.md``):
 and functionals library.
 """
 
-from .amplitudes import ShapedAmplitude
+from .amplitudes import LockedAmplitude, ShapedAmplitude
 from .controls import discretize, discretize_on_midpoints, get_controls
 from .generators import Generator, hamiltonian, liouvillian
 from .info_table import make_grape_print_iters
@@ -34,7 +34,7 @@ __version__ = "0.1.0"
 __all__ = [
     "optimize", "optimize_problem", "GrapeResult", "Trajectory",
     "ControlProblem", "hamiltonian", "liouvillian", "Generator",
-    "ShapedAmplitude", "discretize", "discretize_on_midpoints",
+    "ShapedAmplitude", "LockedAmplitude", "discretize", "discretize_on_midpoints",
     "get_controls", "functionals", "shapes", "propagate", "substitute",
     "save_result", "load_result", "optimize_or_load", "load_optimization",
     "check_state", "check_generator", "check_problem",

@@ -17,7 +17,26 @@ import numpy as np
 
 from .controls import discretize_on_midpoints
 
-__all__ = ["ShapedAmplitude"]
+__all__ = ["ShapedAmplitude", "LockedAmplitude"]
+
+
+class LockedAmplitude:
+    """A fixed (non-optimized) time-dependent amplitude ``a(t) = shape(t)``.
+
+    Analog of ``QuantumPropagators.Amplitudes.LockedAmplitude``: the term
+    contributes shape(t)·Op to the generator but exposes no control, so the
+    optimization never touches it (e.g. a fixed pump pulse while optimizing
+    the Stokes pulse).
+    """
+
+    def __init__(self, shape):
+        self.shape = shape
+
+    def get_controls(self):
+        return ()
+
+    def compile(self, tlist):
+        return discretize_on_midpoints(self.shape, tlist)
 
 
 class ShapedAmplitude:

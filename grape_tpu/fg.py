@@ -59,6 +59,7 @@ class CompiledProblem:
     H0: Any            # (K, d, d) complex
     ops: Any           # (K, T, d, d) complex control-term operators
     M: Any             # (N_T, T, L) real: coeffs_n = M[n] @ eps_n
+    Mfix: Any          # (N_T, T) real: fixed (locked-amplitude) coefficients
     tlist: Any         # (N_T+1,) real
     trajectories: list
     controls: tuple
@@ -180,13 +181,18 @@ def compile_problem(
         ops = np.zeros((K, 0, dim, dim), dtype=cdtype)
 
     # Coefficient tensor M (N_T, T, L): term j couples to control l_j with
-    # per-interval weight shape_j[n].
+    # per-interval weight shape_j[n].  Locked terms (no control) contribute
+    # through the fixed-coefficient table Mfix instead.
     M = np.zeros((N_T, n_terms, L), dtype=np.float64)
+    Mfix = np.zeros((N_T, n_terms), dtype=np.float64)
     g0 = generators[0]
     shapes = g0.term_shapes(tlist)
     ctl_idx = g0.term_control_indices(controls)
     for j in range(n_terms):
-        M[:, j, ctl_idx[j]] = shapes[j]
+        if ctl_idx[j] is None:
+            Mfix[:, j] = shapes[j]
+        else:
+            M[:, j, ctl_idx[j]] = shapes[j]
     # check structural agreement across trajectories
     for g in generators[1:]:
         if g.term_control_indices(controls) != ctl_idx:
@@ -233,6 +239,7 @@ def compile_problem(
         H0=np.asarray(H0),
         ops=np.asarray(ops),
         M=np.asarray(M, dtype=rdtype),
+        Mfix=np.asarray(Mfix, dtype=rdtype),
         tlist=np.asarray(tlist, dtype=rdtype),
         trajectories=trajectories,
         controls=controls,
@@ -293,7 +300,7 @@ def _step_ops(cp: CompiledProblem, n, eps_n, cdtype):
     """(H_n (K,d,d), mu_n (K,L,d,d)) for time interval index ``n``."""
     Mn = jnp.asarray(cp.M)[n]  # (T, L)
     ops_ = jnp.asarray(cp.ops)
-    coeffs = (Mn @ eps_n).astype(cdtype)  # (T,)
+    coeffs = (Mn @ eps_n + jnp.asarray(cp.Mfix)[n]).astype(cdtype)  # (T,)
     H = jnp.asarray(cp.H0) + jnp.einsum("t,ktij->kij", coeffs, ops_)
     mu = jnp.einsum("tl,ktij->klij", Mn.astype(cdtype), ops_)
     return H, mu
@@ -326,7 +333,10 @@ def _cheby_data(cp: CompiledProblem, amp_max):
 
     amp_max = _np.asarray(amp_max, dtype=_np.float64)
     M = _np.asarray(cp.M)  # (N_T, T, L)
-    cmax = _np.einsum("ntl,l->nt", _np.abs(M), amp_max).max(axis=0)  # (T,)
+    cmax = (
+        _np.einsum("ntl,l->nt", _np.abs(M), amp_max)
+        + _np.abs(_np.asarray(cp.Mfix))
+    ).max(axis=0)  # (T,)
     E_min, E_max = spectral_envelope(
         _np.asarray(cp.H0), _np.asarray(cp.ops), -cmax, cmax
     )
@@ -349,13 +359,16 @@ def _cheby_data(cp: CompiledProblem, amp_max):
         tab_fw[n, : len(rf)] = rf
         tab_bw[n, : len(rb)] = rb
     cdtype = cp.psi0.dtype
+    # host-side numpy: eager complex device arrays cannot be fetched back
+    # at trace time on the axon TPU platform; traced closures convert with
+    # jnp.asarray before indexing
     return {
         "dE": dE,
         "shift": shift,
-        "tab_fw": jnp.asarray(tab_fw, dtype=cdtype),
-        "tab_bw": jnp.asarray(tab_bw, dtype=cdtype),
-        "ph_fw": jnp.asarray(_np.asarray(ph_fw), dtype=cdtype),
-        "ph_bw": jnp.asarray(_np.asarray(ph_bw), dtype=cdtype),
+        "tab_fw": _np.asarray(tab_fw, dtype=cdtype),
+        "tab_bw": _np.asarray(tab_bw, dtype=cdtype),
+        "ph_fw": _np.asarray(ph_fw, dtype=cdtype),
+        "ph_bw": _np.asarray(ph_bw, dtype=cdtype),
     }
 
 
@@ -425,8 +438,10 @@ def _make_fwd_step(cp: CompiledProblem, pds, eps):
     ops_ = jnp.asarray(cp.ops)
     dt = jnp.diff(jnp.asarray(cp.tlist))
 
+    Mfix_ = jnp.asarray(cp.Mfix)
+
     def step(psi, n):
-        coeffs = (M_[n] @ eps[:, n]).astype(cdtype)
+        coeffs = (M_[n] @ eps[:, n] + Mfix_[n]).astype(cdtype)
         H = H0_ + jnp.einsum("t,ktij->kij", coeffs, ops_)
         if pd is None:
             U = expm((-1j * dt[n].astype(cdtype)) * H)
@@ -441,7 +456,7 @@ def _make_fwd_step(cp: CompiledProblem, pds, eps):
         Hn = (2.0 * H - pd["shift"] * jnp.eye(d, dtype=cdtype)) / pd["dE"]
         return cheby_apply(
             lambda v: jnp.einsum("kij,kj->ki", Hn, v),
-            psi, pd["tab_fw"][n], pd["ph_fw"][n],
+            psi, jnp.asarray(pd["tab_fw"])[n], jnp.asarray(pd["ph_fw"])[n],
         )
 
     return step
@@ -491,7 +506,8 @@ def _make_bw_step(cp: CompiledProblem, pds, eps, rho, safe_rho):
                 ) / pd_bw["dE"]
                 chi_new = cheby_apply(
                     lambda v: jnp.einsum("kij,kj->ki", Hn, v),
-                    chi, pd_bw["tab_bw"][n], pd_bw["ph_bw"][n],
+                    chi, jnp.asarray(pd_bw["tab_bw"])[n],
+                    jnp.asarray(pd_bw["ph_bw"])[n],
                 )
         elif pd is None:
             chi_prime, chi_new = gradgen_step(Hd, mud, chi, ndt)
@@ -547,7 +563,8 @@ def _make_bw_step(cp: CompiledProblem, pds, eps, rho, safe_rho):
                 axis=1,
             )
             ext = cheby_apply(
-                gmatvec, ext0, pd["tab_bw"][n], pd["ph_bw"][n]
+                gmatvec, ext0, jnp.asarray(pd["tab_bw"])[n],
+                jnp.asarray(pd["ph_bw"])[n]
             )
             chi_prime = ext[:, :-1, :]
             chi_new = ext[:, -1, :]
@@ -651,7 +668,10 @@ def _pallas_squarings(cp: CompiledProblem, amp_max=None):
     if amp_max is None:
         amp_max = 2.0 * _default_amp_max(cp)
     M = np.asarray(cp.M)
-    cmax = np.einsum("ntl,l->nt", np.abs(M), np.asarray(amp_max)).max(axis=0)
+    cmax = (
+        np.einsum("ntl,l->nt", np.abs(M), np.asarray(amp_max))
+        + np.abs(np.asarray(cp.Mfix))
+    ).max(axis=0)
     h0n = max(
         float(np.abs(np.asarray(cp.H0[k])).sum(axis=0).max())
         for k in range(cp.n_traj)
@@ -688,8 +708,9 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals):
             amp_max = (
                 pd.get("amp_max") if isinstance(pd, dict) else None
             )
-            coeffs = jnp.einsum(
-                "ntl,ln->nt", jnp.asarray(cp.M), eps
+            coeffs = (
+                jnp.einsum("ntl,ln->nt", jnp.asarray(cp.M), eps)
+                + jnp.asarray(cp.Mfix)
             ).astype(jnp.float32)
             dts = jnp.diff(tlist_j).astype(jnp.float32)
             storage = forward_scan_pallas(

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "J_T_sm", "J_T_re", "J_T_ss",
+    "J_T_sm", "J_T_re", "J_T_ss", "F_sm", "F_re", "F_ss",
     "chi_sm", "chi_re", "chi_ss",
     "J_a_fluence", "grad_J_a_fluence",
     "make_chi", "make_xi", "make_grad_J_a", "make_analytic_chi",
@@ -113,6 +113,21 @@ def chi_ss(Psi, trajectories, tau=None):
 _ANALYTIC_CHI[J_T_sm] = chi_sm
 _ANALYTIC_CHI[J_T_re] = chi_re
 _ANALYTIC_CHI[J_T_ss] = chi_ss
+
+
+def F_sm(Psi, trajectories, tau=None):
+    """Square-modulus fidelity ``1 - J_T_sm``."""
+    return 1.0 - J_T_sm(Psi, trajectories, tau=tau)
+
+
+def F_re(Psi, trajectories, tau=None):
+    """Real-part fidelity ``1 - J_T_re``."""
+    return 1.0 - J_T_re(Psi, trajectories, tau=tau)
+
+
+def F_ss(Psi, trajectories, tau=None):
+    """State-to-state fidelity ``1 - J_T_ss``."""
+    return 1.0 - J_T_ss(Psi, trajectories, tau=tau)
 
 
 # --------------------------------------------------------------------------

@@ -18,7 +18,7 @@ keeps the whole time scan free of Python dispatch and makes both ``H`` and
 import numpy as np
 import jax.numpy as jnp
 
-from .amplitudes import ShapedAmplitude
+from .amplitudes import LockedAmplitude, ShapedAmplitude
 
 __all__ = ["Generator", "hamiltonian", "liouvillian"]
 
@@ -54,16 +54,20 @@ class Generator:
         N_T = len(tlist) - 1
         out = []
         for _, amp in self.terms:
-            if isinstance(amp, ShapedAmplitude):
+            if isinstance(amp, (ShapedAmplitude, LockedAmplitude)):
                 out.append(np.asarray(amp.compile(tlist), dtype=np.float64))
             else:
                 out.append(np.ones(N_T, dtype=np.float64))
         return out
 
     def term_control_indices(self, controls):
-        """Index into `controls` for each term's underlying control."""
+        """Index into `controls` for each term's underlying control
+        (``None`` for locked terms, which have no control)."""
         idx = []
         for _, amp in self.terms:
+            if isinstance(amp, LockedAmplitude):
+                idx.append(None)
+                continue
             control = amp.control if isinstance(amp, ShapedAmplitude) else amp
             for l, c in enumerate(controls):
                 if c is control:

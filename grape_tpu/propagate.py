@@ -69,8 +69,12 @@ def propagate(state, generator, tlist, storage=False, backwards=False,
     ctl_idx = generator.term_control_indices(controls)
     T = len(generator.terms)
     M = np.zeros((N_T, T, max(len(controls), 1)))
+    Mfix = np.zeros((N_T, T))
     for j in range(T):
-        M[:, j, ctl_idx[j]] = shapes[j]
+        if ctl_idx[j] is None:
+            Mfix[:, j] = shapes[j]
+        else:
+            M[:, j, ctl_idx[j]] = shapes[j]
     # host-side numpy constants (complex device->host transfers are
     # unimplemented on the axon TPU platform, so complex outputs are packed
     # into real/imag pairs inside the jitted program)
@@ -97,8 +101,10 @@ def propagate(state, generator, tlist, storage=False, backwards=False,
         ops_ = jnp.asarray(ops)
         dt_ = jnp.asarray(dtv)
 
+        Mfixj = jnp.asarray(Mfix)
+
         def step(psi, n):
-            coeffs = (Mj[n] @ eps_in[:, n]).astype(cdtype)
+            coeffs = (Mj[n] @ eps_in[:, n] + Mfixj[n]).astype(cdtype)
             H = H0_ + jnp.einsum("t,tij->ij", coeffs, ops_)
             if backwards:
                 H = jnp.conj(H.T)
