@@ -118,3 +118,40 @@ def test_guess_pulse_immutability(tls_setup):
     )
     assert np.allclose(res.guess_controls[0], guess_before)
     assert not np.allclose(res.optimized_controls[0], guess_before)
+
+
+def test_continue_from_other_method(tls_setup):
+    """Cross-method continuation: `continue_from` accepts a result-like
+    object from a different optimization method (the reference's
+    Krotov→GRAPE continuation, `test/test_tls_optimization.jl:417-482` /
+    `src/result.jl:137-147`)."""
+
+    class OtherMethodResult:
+        """Duck-typed result from some other optimizer (e.g. Krotov)."""
+
+        def __init__(self, tlist, optimized_controls, J_T, iteration):
+            self.tlist = tlist
+            self.optimized_controls = optimized_controls
+            self.J_T = J_T
+            self.J_T_prev = 1.0
+            self.iter = iteration
+            self.message = "converged by other method"
+            self.converged = True
+            self.records = [("other", 1)]
+
+    trajectories, tlist = tls_setup
+    # pretend another method produced a mildly improved pulse
+    improved = np.array([1.5 * guess_eps(t) for t in tlist])
+    other = OtherMethodResult(tlist, [improved], J_T=0.5, iteration=7)
+    res = optimize(
+        trajectories, tlist, iter_stop=12, J_T=J_T_sm,
+        continue_from=other, rethrow_exceptions=True, print_iters=False,
+    )
+    assert res.J_T < 1e-3          # GRAPE continues from the warm start
+    assert res.iter > 7            # iteration numbering continues
+    # the other method's records are preserved (record continuity)
+    assert res.records[0] == ("other", 1)
+    # and the warm-start pulse was used as the new starting point: the
+    # optimized controls evolve from 'improved', not from the original guess
+    from grape_tpu.controls import discretize_on_midpoints
+    assert res.message != "converged by other method"
