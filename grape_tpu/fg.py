@@ -646,9 +646,14 @@ def _J_parts(cp: CompiledProblem, pulsevals, storage):
 
 def _pallas_forward_enabled(cp: CompiledProblem, pds):
     """Use the fused Pallas forward kernel when it applies: TPU backend,
-    ExpProp, complex64, full storage."""
+    ExpProp, complex64, full storage, and a dimension large enough that the
+    per-trajectory matmuls use the MXU (measured: at d=100 the fused kernel
+    is ~19% faster than the XLA scan; at d=3 ensembles the batched XLA path
+    is ~1.7x faster, so "auto" gates on d >= 32)."""
     pd_fw = pds["fw"] if isinstance(pds, dict) and "fw" in pds else pds
     if cp.use_pallas is False or pd_fw is not None:
+        return False
+    if cp.use_pallas == "auto" and cp.dim < 32:
         return False
     if cp.storage_mode == "recompute":
         return False
