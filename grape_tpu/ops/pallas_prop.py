@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .expm import _FACT_INV
 
-__all__ = ["forward_scan_pallas", "pallas_available"]
+__all__ = ["forward_scan_pallas", "forward_scan_pallas_time", "pallas_available"]
 
 
 # Full f32 accuracy on the MXU: without this, TPU f32 matmuls default to
@@ -195,6 +195,99 @@ def forward_scan_pallas(
     ys = jnp.transpose(
         (outr + 1j * outi).astype(jnp.complex64), (1, 0, 2)
     )  # (N_T, K, d)
+    return jnp.concatenate(
+        [jnp.asarray(psi0)[None].astype(jnp.complex64), ys], axis=0
+    )
+
+
+
+
+def _fwd_kernel_time(
+    coeffs_ref, dts_ref,
+    h0r_ref, h0i_ref, opsr_ref, opsi_ref, psi0r_ref, psi0i_ref,
+    outr_ref, outi_ref,
+    psir_ref, psii_ref,  # scratch carry (K, d)
+    *, degree, n_squarings, n_terms, n_traj,
+):
+    """Grid (N_T,): one program per time step, all trajectories unrolled
+    inside — amortizes the per-grid-step overhead over the K batch."""
+    n = pl.program_id(0)
+
+    @pl.when(n == 0)
+    def _():
+        psir_ref[...] = psi0r_ref[...]
+        psii_ref[...] = psi0i_ref[...]
+
+    dt = dts_ref[n, 0]
+    for k in range(n_traj):
+        hr = h0r_ref[k]
+        hi = h0i_ref[k]
+        for j in range(n_terms):
+            c = coeffs_ref[n, j]
+            hr = hr + c * opsr_ref[k, j]
+            hi = hi + c * opsi_ref[k, j]
+        ar = dt * hi
+        ai = -dt * hr
+        er, ei = _expm_taylor_kernel_body(ar, ai, degree, n_squarings)
+        vr, vi = _cmatvec(er, ei, psir_ref[k][None, :], psii_ref[k][None, :])
+        psir_ref[k, :] = vr[0]
+        psii_ref[k, :] = vi[0]
+        outr_ref[0, k, :] = vr[0]
+        outi_ref[0, k, :] = vi[0]
+
+
+def forward_scan_pallas_time(
+    H0, ops, coeffs, dts, psi0, n_squarings, degree=16, interpret=False
+):
+    """`forward_scan_pallas` with the (N_T,)-grid / unrolled-K layout.
+    Preferable for small K where per-grid-step overhead dominates."""
+    K, d = psi0.shape
+    T = ops.shape[1]
+    N_T = coeffs.shape[0]
+    f32 = jnp.float32
+    h0r = jnp.real(jnp.asarray(H0)).astype(f32)
+    h0i = jnp.imag(jnp.asarray(H0)).astype(f32)
+    opsr = jnp.real(jnp.asarray(ops)).astype(f32)
+    opsi = jnp.imag(jnp.asarray(ops)).astype(f32)
+    psi0r = jnp.real(jnp.asarray(psi0)).astype(f32)
+    psi0i = jnp.imag(jnp.asarray(psi0)).astype(f32)
+    coeffs = jnp.asarray(coeffs, dtype=f32)
+    dts2 = jnp.asarray(dts, dtype=f32).reshape(N_T, 1)
+
+    kernel = functools.partial(
+        _fwd_kernel_time, degree=degree, n_squarings=int(n_squarings),
+        n_terms=T, n_traj=K,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N_T,),
+        in_specs=[
+            pl.BlockSpec((K, d, d), lambda n, *_: (0, 0, 0)),
+            pl.BlockSpec((K, d, d), lambda n, *_: (0, 0, 0)),
+            pl.BlockSpec((K, T, d, d), lambda n, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((K, T, d, d), lambda n, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((K, d), lambda n, *_: (0, 0)),
+            pl.BlockSpec((K, d), lambda n, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, K, d), lambda n, *_: (n, 0, 0)),
+            pl.BlockSpec((1, K, d), lambda n, *_: (n, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, d), f32),
+            pltpu.VMEM((K, d), f32),
+        ],
+    )
+    outr, outi = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((N_T, K, d), f32),
+            jax.ShapeDtypeStruct((N_T, K, d), f32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(coeffs, dts2, h0r, h0i, opsr, opsi, psi0r, psi0i)
+    ys = (outr + 1j * outi).astype(jnp.complex64)
     return jnp.concatenate(
         [jnp.asarray(psi0)[None].astype(jnp.complex64), ys], axis=0
     )

@@ -42,3 +42,30 @@ def test_forward_scan_pallas_interpret():
     assert np.allclose(
         np.linalg.norm(st[-1], axis=-1), 1.0, atol=1e-5
     )
+
+
+def test_forward_scan_pallas_time_grid_interpret():
+    """The (N_T,)-grid variant (trajectories unrolled in-kernel) matches
+    the (K, N_T)-grid kernel exactly."""
+    from grape_tpu.ops.pallas_prop import forward_scan_pallas_time
+
+    rng = np.random.default_rng(3)
+    K, d, T, N_T = 3, 8, 2, 6
+    H0 = rng.normal(size=(K, d, d))
+    H0 = (H0 + np.swapaxes(H0, -1, -2)) + 0j
+    ops = rng.normal(size=(K, T, d, d))
+    ops = (ops + np.swapaxes(ops, -1, -2)) + 0j
+    coeffs = rng.normal(size=(N_T, T)).astype(np.float32) * 0.3
+    dts = np.full(N_T, 0.1, dtype=np.float32)
+    psi0 = rng.normal(size=(K, d)) + 1j * rng.normal(size=(K, d))
+    psi0 /= np.linalg.norm(psi0, axis=1, keepdims=True)
+    args = (
+        jnp.asarray(H0, dtype=jnp.complex64),
+        jnp.asarray(ops, dtype=jnp.complex64),
+        coeffs, dts, jnp.asarray(psi0, dtype=jnp.complex64),
+    )
+    a = np.asarray(
+        forward_scan_pallas_time(*args, n_squarings=2, interpret=True)
+    )
+    b = np.asarray(forward_scan_pallas(*args, n_squarings=2, interpret=True))
+    assert np.max(np.abs(a - b)) < 1e-6
