@@ -1,5 +1,7 @@
 """Pallas fused forward-propagation kernel: interpret-mode correctness
-against the XLA expm path (the real-TPU path is exercised by bench.py)."""
+against the XLA expm path (the real-TPU path is exercised by bench.py).
+The kernel is the TPU-native replacement for the reference's ExpProp
+forward propagation loop (``/root/reference/src/optimize.jl:731-738``)."""
 
 import numpy as np
 import jax

@@ -151,7 +151,13 @@ def test_continue_from_other_method(tls_setup):
     assert res.iter > 7            # iteration numbering continues
     # the other method's records are preserved (record continuity)
     assert res.records[0] == ("other", 1)
-    # and the warm-start pulse was used as the new starting point: the
-    # optimized controls evolve from 'improved', not from the original guess
+    # and the warm-start pulse IS the optimization's starting point:
     from grape_tpu.controls import discretize_on_midpoints
-    assert res.message != "converged by other method"
+    from grape_tpu.workspace import GrapeWrk
+
+    other2 = OtherMethodResult(tlist, [improved], J_T=0.5, iteration=7)
+    wrk = GrapeWrk(trajectories, tlist, dict(J_T=J_T_sm,
+                                             continue_from=other2))
+    assert np.allclose(
+        wrk.pulsevals, discretize_on_midpoints(improved, tlist)
+    )
