@@ -27,6 +27,7 @@ from .workspace import (
     GrapeWrk, gradient, norm_search, pulse_update, search_direction,
     step_width, vec_angle,
 )
+from .functionals import set_default_ad_framework
 from . import functionals, shapes
 
 __version__ = "0.1.0"
@@ -38,7 +39,7 @@ __all__ = [
     "get_controls", "functionals", "shapes", "propagate", "substitute",
     "save_result", "load_result", "optimize_or_load", "load_optimization",
     "check_state", "check_generator", "check_problem",
-    "make_grape_print_iters",
+    "make_grape_print_iters", "set_default_ad_framework",
     "GrapeWrk", "step_width", "search_direction", "norm_search", "gradient",
     "pulse_update", "vec_angle",
 ]

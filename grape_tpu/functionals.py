@@ -29,8 +29,9 @@ import jax.numpy as jnp
 __all__ = [
     "J_T_sm", "J_T_re", "J_T_ss", "F_sm", "F_re", "F_ss",
     "chi_sm", "chi_re", "chi_ss",
-    "J_a_fluence", "grad_J_a_fluence",
+    "J_a_fluence", "grad_J_a_fluence", "J_b",
     "make_chi", "make_xi", "make_grad_J_a", "make_analytic_chi",
+    "set_default_ad_framework",
     "gate_functional", "make_gate_chi",
     "taus", "weights_of",
 ]
@@ -147,6 +148,28 @@ def grad_J_a_fluence(pulsevals, tlist):
     return jnp.reshape(2.0 * eps * dt[None, :], jnp.shape(pulsevals))
 
 
+def J_b(storage, trajectories, tlist, g_b):
+    """State-dependent running cost from stored forward states:
+    trapezoid sum ``Σ_k Σ_n ½(g_b(Ψ(t_{n-1})) + g_b(Ψ(t_n))) dt_n``
+    (the reference's ``QuantumControl.Functionals.J_b``, used in-callback at
+    ``test/test_state_running_cost.jl:41-48``).
+
+    ``storage (N_T+1, K, d)``; returns the scalar J_b (excluding λ_b).
+    """
+    tlist = jnp.asarray(tlist)
+    dt = jnp.diff(tlist)
+    w = jnp.concatenate(
+        [0.5 * dt[:1], 0.5 * (dt[:-1] + dt[1:]), 0.5 * dt[-1:]]
+    )
+    N = storage.shape[0]
+
+    def gb_at(n):
+        return g_b(storage[n], trajectories, tlist, n)
+
+    gvals = jax.vmap(gb_at)(jnp.arange(N))  # (N_T+1, K)
+    return jnp.sum(w[:, None] * gvals)
+
+
 # --------------------------------------------------------------------------
 # Semi-automatic differentiation
 # --------------------------------------------------------------------------
@@ -158,6 +181,20 @@ def accepts_tau(fn):
     except (TypeError, ValueError):  # pragma: no cover
         return False
     return "tau" in sig.parameters
+
+
+def set_default_ad_framework(framework=None, quiet=True):
+    """API-familiarity shim for the reference's
+    ``QuantumControl.set_default_ad_framework`` (re-exported by GRAPE.jl,
+    ``src/GRAPE.jl:16``): in grape_tpu, automatic differentiation is always
+    ``jax.grad`` (built into :func:`make_chi`/:func:`make_xi`), so there is
+    nothing to configure.  Accepts and ignores any framework argument."""
+    if not quiet and framework is not None:
+        import warnings
+        warnings.warn(
+            "grape_tpu always uses jax.grad for semi-automatic "
+            "differentiation; set_default_ad_framework is a no-op"
+        )
 
 
 def make_analytic_chi(J_T, chi):

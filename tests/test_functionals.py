@@ -122,3 +122,40 @@ def test_gate_functional_and_chi():
     # J_T via gate equals J_T_sm-style direct evaluation at perfect gate
     Psi_perfect = jnp.asarray((O @ basis).T)
     assert abs(float(J_T(Psi_perfect, trajs))) < 1e-12
+
+
+def test_J_b_helper_matches_optimizer_value():
+    """The standalone `J_b` helper reproduces the J_b tracked by the
+    optimization (reference in-callback invariant,
+    `test/test_state_running_cost.jl:41-48`)."""
+    import numpy as np
+    from grape_tpu import Trajectory, hamiltonian, propagate
+    from grape_tpu.functionals import J_b
+    from grape_tpu import optimize
+    from grape_tpu.shapes import flattop
+
+    def eps(t):
+        return 0.2 * float(flattop(t, T=5, t_rise=0.3, func="blackman"))
+
+    sz = np.array([[1, 0], [0, -1]], dtype=complex)
+    sx = np.array([[0, 1], [1, 0]], dtype=complex)
+    H = hamiltonian(-0.5 * sz, (sx, eps))
+    tlist = np.linspace(0, 5, 101)
+    traj = Trajectory([1, 0], H, target_state=[0, 1])
+    D = jnp.asarray(np.diag([0.0, 1.0]).astype(complex))
+
+    def g_b(Psi, trajectories, tl, n):
+        return jnp.real(jnp.einsum("ki,ij,kj->k", jnp.conj(Psi), D, Psi))
+
+    res = optimize(
+        [traj], tlist, iter_stop=2, J_T=J_T_re, g_b=g_b, lambda_b=0.3,
+        print_iters=False, rethrow_exceptions=True,
+    )
+    # recompute J_b from a standalone propagation of the optimized pulses
+    from grape_tpu import get_controls, substitute
+
+    H_opt = substitute(H, list(zip(get_controls(H), res.optimized_controls)))
+    storage = propagate(traj.initial_state, H_opt, tlist, storage=True)
+    J_b_val = float(J_b(jnp.asarray(storage)[:, None, :], [traj],
+                        tlist, g_b))
+    assert abs(J_b_val - res.J_b) < 1e-8
