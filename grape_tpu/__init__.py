@@ -13,9 +13,9 @@ Public API (reference ``src/GRAPE.jl:13-17`` / ``docs/src/api.md``):
 and functionals library.
 """
 
-from .amplitudes import LockedAmplitude, ShapedAmplitude
+from .amplitudes import ComplexAmplitude, LockedAmplitude, ShapedAmplitude
 from .controls import discretize, discretize_on_midpoints, get_controls
-from .generators import Generator, hamiltonian, liouvillian
+from .generators import Generator, align_generators, hamiltonian, liouvillian
 from .info_table import make_grape_print_iters
 from .interfaces import check_generator, check_problem, check_state
 from .io import load_optimization, load_result, optimize_or_load, save_result
@@ -35,7 +35,8 @@ __version__ = "0.1.0"
 __all__ = [
     "optimize", "optimize_problem", "GrapeResult", "Trajectory",
     "ControlProblem", "hamiltonian", "liouvillian", "Generator",
-    "ShapedAmplitude", "LockedAmplitude", "discretize", "discretize_on_midpoints",
+    "align_generators", "ShapedAmplitude", "LockedAmplitude",
+    "ComplexAmplitude", "discretize", "discretize_on_midpoints",
     "get_controls", "functionals", "shapes", "propagate", "substitute",
     "save_result", "load_result", "optimize_or_load", "load_optimization",
     "check_state", "check_generator", "check_problem",

@@ -17,7 +17,7 @@ import numpy as np
 
 from .controls import discretize_on_midpoints
 
-__all__ = ["ShapedAmplitude", "LockedAmplitude"]
+__all__ = ["ShapedAmplitude", "LockedAmplitude", "ComplexAmplitude"]
 
 
 class LockedAmplitude:
@@ -57,3 +57,54 @@ class ShapedAmplitude:
     def compile(self, tlist):
         """Static per-interval shape values ``(N_T,)``."""
         return discretize_on_midpoints(self.shape, tlist)
+
+
+class ComplexAmplitude:
+    """Complex amplitude ``a(t) = ε_re(t) + i·ε_im(t)`` from two real
+    controls (analog of ``QuantumPropagators.Amplitudes.ComplexAmplitude``).
+
+    The two quadratures are independent optimizable controls (each may also
+    be a :class:`ShapedAmplitude` or :class:`LockedAmplitude`).  Inside
+    :class:`~grape_tpu.generators.Generator`, a term ``(Op,
+    ComplexAmplitude(re, im))`` lowers to the two real-coefficient terms
+    ``(Op, re)`` and ``(i·Op, im)``, so the gradient machinery sees plain
+    real controls with exact control derivatives ``μ_re = Op``,
+    ``μ_im = i·Op`` — the same two-quadrature encoding the reference's CNOT
+    test writes out by hand (``/root/reference/test/test_lbfgsb_saddle_point.jl``:
+    independent ``σx``/``σy`` drive terms).
+    """
+
+    def __init__(self, re, im, _im_sign=1.0):
+        self.re = re
+        self.im = im
+        self._im_sign = float(_im_sign)
+
+    def conjugate(self):
+        """The conjugate amplitude ``a*(t) = ε_re(t) - i·ε_im(t)``, sharing
+        the same underlying controls — so Hermitian generators like
+        ``Ω(t)·σ₋ + Ω*(t)·σ₊`` are written as two terms over one pair of
+        quadrature controls."""
+        return ComplexAmplitude(self.re, self.im, _im_sign=-self._im_sign)
+
+    conj = conjugate
+
+    def get_controls(self):
+        controls = []
+        for part in (self.re, self.im):
+            part_controls = (
+                part.get_controls()
+                if hasattr(part, "get_controls")
+                else (part,)
+            )
+            for c in part_controls:
+                if not any(c is seen for seen in controls):
+                    controls.append(c)
+        return tuple(controls)
+
+    def lower(self, op):
+        """The two real-quadrature terms ``[(op, re), (±i·op, im)]``."""
+        op = np.asarray(op)
+        return [
+            (op, self.re),
+            (self._im_sign * 1j * op.astype(complex), self.im),
+        ]

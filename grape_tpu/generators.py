@@ -18,9 +18,9 @@ keeps the whole time scan free of Python dispatch and makes both ``H`` and
 import numpy as np
 import jax.numpy as jnp
 
-from .amplitudes import LockedAmplitude, ShapedAmplitude
+from .amplitudes import ComplexAmplitude, LockedAmplitude, ShapedAmplitude
 
-__all__ = ["Generator", "hamiltonian", "liouvillian"]
+__all__ = ["Generator", "hamiltonian", "liouvillian", "align_generators"]
 
 
 class Generator:
@@ -29,8 +29,16 @@ class Generator:
     def __init__(self, drift, terms):
         self.drift = np.asarray(drift)
         # terms: list of (op, amplitude) where amplitude is a control
-        # (callable / vector) or a ShapedAmplitude
-        self.terms = [(np.asarray(op), amp) for (op, amp) in terms]
+        # (callable / vector) or a ShapedAmplitude; ComplexAmplitude terms
+        # lower to their two real-quadrature terms
+        self.terms = []
+        for op, amp in terms:
+            if isinstance(amp, ComplexAmplitude):
+                self.terms.extend(
+                    (np.asarray(o), a) for (o, a) in amp.lower(op)
+                )
+            else:
+                self.terms.append((np.asarray(op), amp))
 
     def get_controls(self):
         controls = []
@@ -117,6 +125,61 @@ def hamiltonian(*parts):
             raise ValueError("hamiltonian() needs at least one operator")
         drift = np.zeros_like(terms[0][0])
     return Generator(drift, terms)
+
+
+def align_generators(generators):
+    """Align heterogeneous ensemble generators to a shared term structure.
+
+    The batched device program requires every trajectory's generator to have
+    the same term list (same count, same amplitude per slot — the vmap
+    constraint checked in ``compile_problem``).  This helper takes generators
+    whose term lists differ (e.g. a robustness ensemble where only some
+    members have a crosstalk drive) and returns new :class:`Generator` s over
+    the *union* of all amplitudes, padding missing couplings with zero
+    operators.  Coefficient tables, control ordering, and gradients are then
+    identical across the ensemble; zero-padded terms contribute nothing to
+    ``H_k`` or ``μ_k``.
+
+    Amplitudes are matched by object identity, mirroring how the reference
+    identifies controls across trajectories (``get_controls`` deduplication,
+    consumed at ``/root/reference/src/workspace.jl:154``): ensemble members
+    that share a control must reference the *same* amplitude/control object.
+    """
+    generators = list(generators)
+    if not generators:
+        return []
+    dim = generators[0].dim
+    for g in generators:
+        if g.dim != dim:
+            raise ValueError(
+                "align_generators: all generators must have the same "
+                f"dimension (got {g.dim} != {dim})"
+            )
+    # ordered union of amplitude objects across all generators
+    union = []
+    for g in generators:
+        for _, amp in g.terms:
+            if not any(amp is u for u in union):
+                union.append(amp)
+    dtype = np.result_type(
+        *(g.drift.dtype for g in generators),
+        *(op.dtype for g in generators for (op, _) in g.terms),
+    )
+    zero = np.zeros((dim, dim), dtype=dtype)
+    out = []
+    for g in generators:
+        terms = []
+        for amp in union:
+            ops = [op for (op, a) in g.terms if a is amp]
+            if not ops:
+                terms.append((zero, amp))
+            else:
+                acc = ops[0].astype(dtype)
+                for op in ops[1:]:
+                    acc = acc + op
+                terms.append((acc, amp))
+        out.append(Generator(g.drift, terms))
+    return out
 
 
 def liouvillian(H, c_ops=()):

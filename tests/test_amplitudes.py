@@ -86,3 +86,53 @@ def test_shaped_amplitude_zero_endpoints():
     # and mid-pulse the coefficient is NOT suppressed
     mid = cp.n_timesteps // 2
     assert np.max(np.abs(cp.M[mid] @ np.atleast_1d(1.0))) > 0.5
+
+
+def test_complex_amplitude_equivalence_and_optimization():
+    """ComplexAmplitude(re, im) lowers to the two real-quadrature terms
+    (op, re) and (i op, im) — the encoding the reference's CNOT test writes
+    out by hand with independent sigma_x/sigma_y drives
+    (``/root/reference/test/test_lbfgsb_saddle_point.jl``).  A Hermitian
+    rotating-frame drive Omega sigma_- + Omega* sigma_+ built from one
+    ComplexAmplitude pair must propagate identically to the explicit
+    sigma_x/sigma_y form, and must optimize over both quadratures."""
+    from grape_tpu import ComplexAmplitude
+    from grape_tpu.functionals import J_T_sm
+
+    sz = np.array([[1, 0], [0, -1]], dtype=complex)
+    sx = np.array([[0, 1], [1, 0]], dtype=complex)
+    sy = np.array([[0, -1j], [1j, 0]], dtype=complex)
+    sm = np.array([[0, 0], [1, 0]], dtype=complex)  # sigma_-
+    sp = sm.conj().T
+
+    def eps_re(t):
+        return 0.5 * np.exp(-20.0 * (t - 0.5) ** 2)
+
+    def eps_im(t):
+        return 0.3 * np.sin(2 * np.pi * t)
+
+    Omega = ComplexAmplitude(eps_re, eps_im)
+    # H = -0.5 sz + 0.5 (Omega sm + Omega* sp)
+    H_c = hamiltonian(-0.5 * sz, (0.5 * sm, Omega), (0.5 * sp, Omega.conj()))
+    # explicit quadrature form: 0.5(Omega sm + Omega* sp)
+    #   = 0.5 (eps_re sx + eps_im sy)  [since sm + sp = sx, i(sm - sp) = -sy]
+    H_x = hamiltonian(-0.5 * sz, (0.5 * sx, eps_re), (0.5 * sy, eps_im))
+
+    tlist = np.linspace(0, 1, 101)
+    psi_c = propagate([1, 0], H_c, tlist)
+    psi_x = propagate([1, 0], H_x, tlist)
+    np.testing.assert_allclose(psi_c, psi_x, atol=1e-12)
+
+    # both quadratures are independent optimizable controls
+    assert len(get_controls(H_c)) == 2
+    traj = Trajectory([1, 0], H_c, target_state=[0, 1])
+    tlist_opt = np.linspace(0, 5, 251)
+    res = optimize(
+        [traj], tlist_opt, iter_stop=15, J_T=J_T_sm,
+        rethrow_exceptions=True, print_iters=False,
+    )
+    assert len(res.optimized_controls) == 2
+    assert res.J_T < 1e-3
+    # both quadratures must actually have been updated
+    for guess, opt in zip(res.guess_controls, res.optimized_controls):
+        assert np.max(np.abs(np.asarray(opt) - np.asarray(guess))) > 1e-3
