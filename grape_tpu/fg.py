@@ -41,7 +41,9 @@ from .ops.cheby import cheby_apply, cheby_coeffs, spectral_envelope
 from .ops.expm import expm
 from .ops.frechet import gradgen_step, taylor_grad_step
 from .ops.newton import arnoldi_expmv
-from .ops.pallas_prop import forward_scan_pallas
+from .ops.pallas_prop import (
+    backward_scan_pallas, forward_scan_pallas, taylor_order_for_bound,
+)
 
 __all__ = ["CompiledProblem", "compile_problem", "build_fg", "build_f"]
 
@@ -94,6 +96,9 @@ class CompiledProblem:
     use_pallas: Any = "auto"
     newton_m: int = 30
     newton_substeps: int = 1
+    ctl_idx: tuple = ()  # static control index per term (None = locked)
+    reuse_propagators: Any = "auto"
+    vectorize_backward: bool = True
 
     @property
     def dt(self):
@@ -128,6 +133,8 @@ def compile_problem(
     use_pallas="auto",
     newton_m=30,
     newton_substeps=1,
+    reuse_propagators="auto",
+    vectorize_backward=True,
     **_ignored,
 ):
     """Compile trajectories + tlist into a :class:`CompiledProblem`.
@@ -274,6 +281,9 @@ def compile_problem(
         use_pallas=use_pallas,
         newton_m=int(newton_m),
         newton_substeps=int(newton_substeps),
+        ctl_idx=tuple(ctl_idx),
+        reuse_propagators=reuse_propagators,
+        vectorize_backward=bool(vectorize_backward),
     )
 
 
@@ -423,8 +433,13 @@ def _pick_segments(storage_mode, storage_segments, N_T):
     return min(divisors, key=lambda s: abs(s - target))
 
 
-def _make_fwd_step(cp: CompiledProblem, pds, eps):
-    """One forward step ``psi -> U_n psi`` as a traced closure."""
+def _make_fwd_step(cp: CompiledProblem, pds, eps, with_U=False):
+    """One forward step ``psi -> U_n psi`` as a traced closure.
+
+    With ``with_U`` (ExpProp only), the closure returns ``(psi_new, U_n)``
+    so the backward pass can propagate the co-states with the exact adjoint
+    ``U_n†`` instead of recomputing the matrix exponential
+    (``expm(+i dt H†) ≡ expm(-i dt H)†``)."""
     pd = pds["fw"] if isinstance(pds, dict) and "fw" in pds else pds
     cdtype = cp.psi0.dtype
     M_ = jnp.asarray(cp.M)
@@ -433,13 +448,18 @@ def _make_fwd_step(cp: CompiledProblem, pds, eps):
     dt = jnp.diff(jnp.asarray(cp.tlist))
 
     Mfix_ = jnp.asarray(cp.Mfix)
+    if with_U and pd is not None:
+        raise ValueError("with_U requires the ExpProp forward propagator")
 
     def step(psi, n):
         coeffs = (M_[n] @ eps[:, n] + Mfix_[n]).astype(cdtype)
         H = H0_ + jnp.einsum("t,ktij->kij", coeffs, ops_)
         if pd is None:
             U = expm((-1j * dt[n].astype(cdtype)) * H)
-            return jnp.einsum("kij,kj->ki", U, psi)
+            psi_new = jnp.einsum("kij,kj->ki", U, psi)
+            if with_U:
+                return psi_new, U
+            return psi_new
         if pd["kind"] == "newton":
             a = (-1j * dt[n]).astype(cdtype)
             return arnoldi_expmv(
@@ -469,8 +489,9 @@ def _make_bw_step(cp: CompiledProblem, pds, eps, rho, safe_rho):
     rdtype = cp.tlist.dtype
     use_taylor = cp.gradient_method == "taylor"
     dt = jnp.diff(jnp.asarray(cp.tlist))
+    h_scale = max(_h_norm_bound(cp), 1e-30) if use_taylor else None
 
-    def bw_step(chi, n, psi_prev):
+    def bw_step(chi, n, psi_prev, U_n=None):
         H, mu = _step_ops(cp, n, eps[:, n], cdtype)
         Hd = jnp.conj(jnp.swapaxes(H, -1, -2))
         mud = jnp.conj(jnp.swapaxes(mu, -1, -2))
@@ -483,8 +504,13 @@ def _make_bw_step(cp: CompiledProblem, pds, eps, rho, safe_rho):
                 tolerance=cp.taylor_grad_tolerance,
                 check_convergence=cp.taylor_grad_check_convergence,
                 with_status=True,
+                scale=h_scale,
             )
-            if pd_bw is None:
+            if U_n is not None:
+                # exact adjoint of the stored forward propagator:
+                # expm(+i dt H†) ≡ U_n†  (one matvec instead of an expm)
+                chi_new = jnp.einsum("kji,kj->ki", jnp.conj(U_n), chi)
+            elif pd_bw is None:
                 U = expm((-1j * ndt) * Hd)
                 chi_new = jnp.einsum("kij,kj->ki", U, chi)
             elif pd_bw["kind"] == "newton":
@@ -580,17 +606,28 @@ def _make_bw_step(cp: CompiledProblem, pds, eps, rho, safe_rho):
     return bw_step
 
 
-def _forward(cp: CompiledProblem, pulsevals, pds=None):
+def _forward(cp: CompiledProblem, pulsevals, pds=None, with_U=False):
     """Forward propagation storing all states.
 
     Returns ``storage (N_T+1, K, d)`` — the reference's per-trajectory
-    ``fw_storage`` (``src/workspace.jl:215``, ``src/optimize.jl:731-738``).
+    ``fw_storage`` (``src/workspace.jl:215``, ``src/optimize.jl:731-738``) —
+    plus, with ``with_U``, the per-step propagators ``U (N_T, K, d, d)``
+    for backward reuse.
     """
     psi0_ = jnp.asarray(cp.psi0)
     eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps)).astype(
         cp.tlist.dtype
     )
-    fwd_step = _make_fwd_step(cp, pds, eps)
+    fwd_step = _make_fwd_step(cp, pds, eps, with_U=with_U)
+
+    if with_U:
+        def step_u(psi, n):
+            psi_new, U = fwd_step(psi, n)
+            return psi_new, (psi_new, U)
+
+        _, (ys, Us) = lax.scan(step_u, psi0_, jnp.arange(cp.n_timesteps))
+        storage = jnp.concatenate([psi0_[None], ys], axis=0)
+        return storage, Us
 
     def step(psi, n):
         psi_new = fwd_step(psi, n)
@@ -661,9 +698,9 @@ def _pallas_forward_enabled(cp: CompiledProblem, pds):
     return bool(cp.use_pallas)
 
 
-def _pallas_squarings(cp: CompiledProblem, amp_max=None):
-    """Static squaring count from the host-side amplitude envelope:
-    ||A_n||_1 <= dt_max * (||H0||_1 + sum_j cmax_j ||Op_j||_1)."""
+def _h_norm_bound(cp: CompiledProblem, amp_max=None):
+    """Host-side envelope bound on ``‖H_n‖_1``:
+    ``||H0||_1 + sum_j cmax_j ||Op_j||_1``."""
     if amp_max is None:
         amp_max = 2.0 * _default_amp_max(cp)
     M = np.asarray(cp.M)
@@ -682,27 +719,280 @@ def _pallas_squarings(cp: CompiledProblem, amp_max=None):
         )
         for j in range(cp.ops.shape[1])
     ]
-    dt_max = float(np.max(np.diff(np.asarray(cp.tlist))))
     coupling = float(np.dot(cmax, opn)) if opn else 0.0
-    bound = dt_max * (h0n + coupling)
+    return h0n + coupling
+
+
+def _pallas_norm_bound(cp: CompiledProblem, amp_max=None):
+    """Host-side envelope bound on ``|dt|·‖H_n‖_1``."""
+    dt_max = float(np.max(np.diff(np.asarray(cp.tlist))))
+    return dt_max * _h_norm_bound(cp, amp_max)
+
+
+def _pallas_squarings(cp: CompiledProblem, amp_max=None):
+    """Static squaring count from the host-side amplitude envelope."""
+    bound = _pallas_norm_bound(cp, amp_max)
     theta = 2.0
     return max(0, int(np.ceil(np.log2(max(bound, 1e-30) / theta))))
 
 
-def _evaluate_forward(cp: CompiledProblem, pd, pulsevals):
+def _pallas_backward_enabled(cp: CompiledProblem, pds, amp_max=None):
+    """Use the fused Pallas backward-gradient kernel: EXPLICIT OPT-IN ONLY
+    (``use_pallas="all"``).  Measured on the CZ dim=100 benchmark, the
+    fused kernel is instruction-bound (per-(k,n) grid step it issues ~650
+    small MXU ops) and loses to the XLA backward scan with propagator
+    reuse, so the default keeps the forward kernel + XLA backward.
+    Requirements: taylor gradient, ExpProp backward/grad propagation, no
+    state running cost (xi), full storage, complex64, and an amplitude
+    envelope admitting a static Taylor order within
+    ``taylor_grad_max_order``."""
+    if cp.use_pallas != "all":
+        return False
+    pd_bw = pds["bw"] if isinstance(pds, dict) and "bw" in pds else pds
+    pd_gr = pds["grad"] if isinstance(pds, dict) and "grad" in pds else pds
+    if pd_bw is not None or pd_gr is not None:
+        return False
+    if cp.gradient_method != "taylor" or cp.xi is not None:
+        return False
+    if cp.storage_mode == "recompute":
+        return False
+    if cp.psi0.dtype != np.complex64:
+        return False
+    if _pallas_taylor_order(cp, amp_max) is None:
+        return False
+    import jax as _jax
+
+    return _jax.devices()[0].platform == "tpu"
+
+
+def _pallas_taylor_order(cp: CompiledProblem, amp_max=None):
+    """Static Taylor-recursion order for the fused backward kernel (the
+    envelope-bound counterpart of the XLA path's dynamic convergence check;
+    tolerance floored at 1e-9 — beyond f32 resolution of the c64 path)."""
+    return taylor_order_for_bound(
+        _pallas_norm_bound(cp, amp_max),
+        tolerance=max(cp.taylor_grad_tolerance, 1e-9),
+        max_order=cp.taylor_grad_max_order,
+    )
+
+
+def _reuse_U_enabled(cp: CompiledProblem, pds):
+    """Reuse the forward step propagators ``U_n`` for the backward co-state
+    propagation (``χ ← U_n†χ``, exact identity): applies to the taylor
+    gradient with ExpProp forward AND backward propagation.  ``"auto"``
+    gates on the storage cost ``N_T·K·d²`` staying under ~4 GiB (beyond
+    that, ``storage_mode="recompute"`` with segment-local reuse is the
+    right tool anyway)."""
+    if cp.reuse_propagators is False:
+        return False
+    pd_fw = pds["fw"] if isinstance(pds, dict) and "fw" in pds else pds
+    pd_bw = pds["bw"] if isinstance(pds, dict) and "bw" in pds else pds
+    if pd_fw is not None or pd_bw is not None:
+        return False
+    if cp.gradient_method != "taylor":
+        return False
+    if cp.reuse_propagators == "auto":
+        n_stored = cp.n_timesteps
+        if cp.storage_mode == "recompute" and cp.storage_segments:
+            n_stored = cp.n_timesteps // cp.storage_segments  # per segment
+        nbytes = (
+            n_stored * cp.n_traj * cp.dim * cp.dim
+            * np.dtype(cp.psi0.dtype).itemsize
+        )
+        if nbytes > 4 * 1024**3:
+            return False
+        # On TPU, collecting U from the XLA forward scan measured SLOWER
+        # than recomputing the expm in the backward pass (173 vs 125 ms on
+        # the CZ benchmark) — the win comes from the Pallas forward kernel
+        # streaming U out; elsewhere (CPU) the XLA collection is fine.
+        import jax as _jax
+
+        if _jax.devices()[0].platform == "tpu":
+            return _pallas_forward_enabled(cp, pds)
+        return True
+    return bool(cp.reuse_propagators)
+
+
+def _vectorized_taylor_orders(cp: CompiledProblem, amp_max=None):
+    """Static Taylor order count for the time-vectorized backward pass,
+    from the host amplitude envelope (plus margin).  Returns None when no
+    order within ``taylor_grad_max_order`` reaches the tolerance — the
+    caller then uses the per-step scan path (which raises on
+    non-convergence like the reference)."""
+    tol = cp.taylor_grad_tolerance
+    if np.dtype(cp.psi0.dtype) == np.complex64:
+        # f32 terms below ~1e-9·‖H‖ are unresolvable; don't waste orders
+        tol = max(tol, 1e-9)
+    return taylor_order_for_bound(
+        _pallas_norm_bound(cp, amp_max), tolerance=tol,
+        max_order=cp.taylor_grad_max_order,
+    )
+
+
+def _backward_vectorized(cp: CompiledProblem, pulsevals, storage, Us,
+                         chi_hat, rho, safe_rho, amp_max=None):
+    """Time-vectorized backward gradient pass (requires stored ``U_n``).
+
+    The reference's backward loop (``src/optimize.jl:913-994``) — and our
+    scan counterpart — is sequential in time because the co-state χ carries
+    across steps.  But χ propagation with stored propagators is ONE matvec
+    per step (``χ ← U_n†χ``); everything expensive (the Taylor χ'-recursion
+    and the gradient dots) depends only on per-step data.  So:
+
+      phase A (sequential, cheap):  scan χ(t_n) for all n — one batched
+        matvec per step, plus the ξ inhomogeneity injection;
+      phase B (batched over the WHOLE time axis): one Taylor recursion on
+        ``(N_T, K, L, d)`` tensors — ~30 orders × a few large einsums
+        instead of N_T × ~100 small ops.  This is the shape the MXU wants.
+
+    Returns ``(tau_grads (N_T, K, L) [ρ-scaled], taylor_ok)``.
+    """
+    cdtype = cp.psi0.dtype
+    rdtype = cp.tlist.dtype
+    tlist_j = jnp.asarray(cp.tlist)
+    dt = jnp.diff(tlist_j)
+    eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps)).astype(
+        rdtype
+    )
+    M_ = jnp.asarray(cp.M)
+    ops_ = jnp.asarray(cp.ops)
+    H0_ = jnp.asarray(cp.H0)
+    Mfix_ = jnp.asarray(cp.Mfix)
+
+    # ---- phase A: co-state trajectory -------------------------------
+    if cp.xi is not None:
+        w = _grid_weights(tlist_j)
+
+    def chi_body(chi, n):
+        chi_in = chi  # χ(t_{n+1}) — what step n's recursion consumes
+        chi_new = jnp.einsum("kji,kj->ki", jnp.conj(Us[n]), chi)
+        if cp.xi is not None:
+            xi_n = cp.xi(storage[n], cp.trajectories, tlist_j, n)
+            inhom = (
+                cp.lambda_b * w[n] / safe_rho[:, None]
+            ).astype(cdtype) * xi_n
+            chi_new = jnp.where(n > 0, chi_new + inhom, chi_new)
+        return chi_new, chi_in
+
+    ns = jnp.arange(cp.n_timesteps - 1, -1, -1)
+    _, chis_rev = lax.scan(chi_body, chi_hat, ns)
+    chis = chis_rev[::-1]  # (N_T, K, d): χ(t_{n+1}) for each step n
+
+    # ---- phase B: batched Taylor recursion over all steps -----------
+    coeffs_all = (
+        jnp.einsum("ntl,ln->nt", M_, eps) + Mfix_
+    ).astype(cdtype)  # (N_T, T)
+    Hs = H0_[None] + jnp.einsum("nt,ktij->nkij", coeffs_all, ops_)
+    # Scaled recursion (see taylor_grad_step): iterate with H†/h so the
+    # iterates stay O(1) — unscaled, Φ_m ~ ‖H‖^m overflows f32 while the
+    # coefficient underflows, and TPU flush-to-zero then silently
+    # truncates the series.
+    h = max(_h_norm_bound(cp), 1e-30)
+    inv_h = np.dtype(cdtype).type(1.0 / h)
+    Hds = jnp.conj(jnp.swapaxes(Hs, -1, -2)) * inv_h  # (N_T,K,d,d) / h
+    opsd = jnp.conj(jnp.swapaxes(ops_, -1, -2))  # (K, T, d, d)
+    Mc = M_.astype(cdtype)
+
+    def mu_apply(v):
+        """μ† @ v for all (n, k, l) without materializing μ:
+        μ_nl† = Σ_j M[n,j,l]·Op_j†."""
+        u = jnp.einsum("ktij,nkj->nkti", opsd, v)
+        return jnp.einsum("ntl,nkti->nkli", Mc, u)
+
+    cdt = (1j * dt * h).astype(cdtype)  # = -i·(-dt_n)·h, per step (N_T,)
+    Hm = chis  # (H†/h)^{m-1} χ  (m=1)
+    phi = mu_apply(chis)  # (N_T, K, L, d), scaled by h^{-(m-1)}
+    coeff = cdt  # (N_T,) — (i dt_n h)^m / m!
+    acc = coeff[:, None, None, None] * phi  # h · χ'
+    # STATIC order count from the host-side envelope, UNROLLED: on the
+    # axon TPU platform, carrying these (N_T,K,L,d) complex64 tensors
+    # through ANY XLA loop construct (lax.while_loop and lax.scan produce
+    # bit-identical wrong values; measured 6.6e-2 gradient error where the
+    # unrolled identical body is exact to 3e-7; explicit HIGHEST einsum
+    # precision does not help — the platform's x64 rewriter handles the
+    # 64-bit c64 loop carries).  n_orders is small (~25-40), so the
+    # unrolled program stays compact.
+    n_orders = _vectorized_taylor_orders(cp, amp_max)
+
+    for m in range(2, n_orders + 1):
+        # one fused H†@[φ | H̃m] einsum per order: H̃ds (the big operand)
+        # is read once instead of twice per order (HBM-bandwidth bound)
+        Z = jnp.concatenate([phi, Hm[:, :, None, :]], axis=2)
+        Z = jnp.einsum("nkij,nkmj->nkmi", Hds, Z)
+        Hm = Z[:, :, -1, :]
+        phi = mu_apply(Hm) + Z[:, :, :-1, :]
+        coeff = coeff * cdt / m
+        acc = acc + coeff[:, None, None, None] * phi
+    acc = acc * inv_h
+    # converged iff the LAST term was already below tolerance (the static
+    # bound is chosen so this holds; report honestly like the reference's
+    # non-convergence check, src/optimize.jl:640-646)
+    last_term = coeff[:, None, None, None] * phi
+    term_norm = jnp.sqrt(jnp.max(jnp.sum(jnp.abs(last_term) ** 2, axis=-1)))
+    taylor_ok = jnp.logical_or(
+        jnp.logical_not(jnp.asarray(cp.taylor_grad_check_convergence)),
+        term_norm < cp.taylor_grad_tolerance * h,
+    )
+
+    # ∇τ_{nkl} = ρ_k ⟨χ'_{nkl} | ψ(t_n)⟩
+    grads = jnp.einsum("nkli,nki->nkl", jnp.conj(acc), storage[:-1])
+    return rho[None, :, None].astype(cdtype) * grads, taylor_ok
+
+
+def _backward_pallas(cp: CompiledProblem, pulsevals, storage, chi_hat,
+                     amp_max=None):
+    """Backward gradient scan via the fused Pallas kernel.
+
+    Returns ``tau_grads (N_T, K, L)`` complex, UNSCALED by ρ (the caller
+    applies the ρ factor, matching ``src/optimize.jl:893-895``).
+    """
+    eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps)).astype(
+        cp.tlist.dtype
+    )
+    coeffs = (
+        jnp.einsum("ntl,ln->nt", jnp.asarray(cp.M), eps)
+        + jnp.asarray(cp.Mfix)
+    ).astype(jnp.float32)
+    # per-term μ weights: Mmu[n, j] = M[n, j, ctl_idx[j]]
+    M = np.asarray(cp.M)
+    mmu = np.zeros(M.shape[:2], dtype=np.float32)
+    for j, l in enumerate(cp.ctl_idx):
+        if l is not None:
+            mmu[:, j] = M[:, j, l]
+    dts = jnp.diff(jnp.asarray(cp.tlist)).astype(jnp.float32)
+    psi_planes = jnp.stack([
+        jnp.real(storage), jnp.imag(storage)
+    ]).astype(jnp.float32).transpose(0, 2, 1, 3)  # (2, K, N_T+1, d)
+    chi_planes = jnp.stack([
+        jnp.real(chi_hat), jnp.imag(chi_hat)
+    ]).astype(jnp.float32)
+    gradr, gradi = backward_scan_pallas(
+        cp.H0, cp.ops, coeffs, mmu, cp.ctl_idx, dts,
+        psi_planes, chi_planes,
+        n_squarings=_pallas_squarings(cp, amp_max),
+        taylor_order=_pallas_taylor_order(cp, amp_max),
+    )
+    return jnp.transpose(
+        (gradr + 1j * gradi).astype(cp.psi0.dtype), (1, 0, 2)
+    )  # (N_T, K, L)
+
+
+def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False):
     """Forward pass in either storage mode.
 
-    Returns ``(storage, checkpoints, psi_T, (J_T, J_a, J_b, tau))``:
+    Returns ``(storage, checkpoints, psi_T, (J_T, J_a, J_b, tau), Us)``:
     ``storage (N_T+1, K, d)`` for ``storage_mode="full"`` (checkpoints None),
     or ``checkpoints (S, K, d)`` — the state at each segment start — for
     ``"recompute"`` (storage None), with the state running cost accumulated
-    inline.
+    inline.  ``Us (N_T, K, d, d)`` holds the per-step propagators when
+    ``want_U`` (full-storage ExpProp only); else None.
     """
     eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps)).astype(
         cp.tlist.dtype
     )
     tlist_j = jnp.asarray(cp.tlist)
     if cp.storage_mode != "recompute":
+        Us = None
         if _pallas_forward_enabled(cp, pd):
             amp_max = (
                 pd.get("amp_max") if isinstance(pd, dict) else None
@@ -712,14 +1002,20 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals):
                 + jnp.asarray(cp.Mfix)
             ).astype(jnp.float32)
             dts = jnp.diff(tlist_j).astype(jnp.float32)
-            storage = forward_scan_pallas(
+            out = forward_scan_pallas(
                 cp.H0, cp.ops, coeffs, dts, cp.psi0,
                 n_squarings=_pallas_squarings(cp, amp_max),
+                with_propagators=want_U,
             )
+            storage, Us = out if want_U else (out, None)
+        elif want_U:
+            storage, Us = _forward(cp, pulsevals, pd, with_U=True)
         else:
             storage = _forward(cp, pulsevals, pd)
         J_T_val, J_a_val, J_b_val, tau = _J_parts(cp, pulsevals, storage)
-        return storage, None, storage[-1], (J_T_val, J_a_val, J_b_val, tau)
+        return (
+            storage, None, storage[-1], (J_T_val, J_a_val, J_b_val, tau), Us
+        )
 
     S = cp.storage_segments
     seg_len = cp.n_timesteps // S
@@ -762,7 +1058,7 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals):
             cp.g_b(psi_T, cp.trajectories, tlist_j, cp.n_timesteps)
         )
         J_b_val = cp.lambda_b * gb_acc
-    return None, checkpoints, psi_T, (J_T_val, J_a_val, J_b_val, tau)
+    return None, checkpoints, psi_T, (J_T_val, J_a_val, J_b_val, tau), None
 
 
 def build_f(cp: CompiledProblem, amp_max=None):
@@ -774,7 +1070,7 @@ def build_f(cp: CompiledProblem, amp_max=None):
     @jax.default_matmul_precision("highest")
     def f(pulsevals):
         pulsevals = jnp.asarray(pulsevals, dtype=cp.tlist.dtype)
-        _, _, psi_T, (J_T_val, J_a_val, J_b_val, tau) = _evaluate_forward(
+        _, _, psi_T, (J_T_val, J_a_val, J_b_val, tau), _ = _evaluate_forward(
             cp, pd, pulsevals
         )
         J = J_T_val + J_a_val + J_b_val
@@ -824,14 +1120,23 @@ def build_fg(cp: CompiledProblem, amp_max=None):
     pd = _prop_data(cp, amp_max)
     recompute = cp.storage_mode == "recompute"
 
+    pallas_bw = not recompute and _pallas_backward_enabled(cp, pd, amp_max)
+    reuse_U = _reuse_U_enabled(cp, pd) and not pallas_bw
+    vec_bw = (
+        cp.vectorize_backward
+        and _vectorized_taylor_orders(cp, amp_max) is not None
+    )
+
     # full f32 MXU accuracy: TPU matmuls otherwise default to bf16 passes,
     # which breaks unitarity over long propagations
     @jax.jit
     @jax.default_matmul_precision("highest")
     def fg(pulsevals):
         pulsevals = jnp.asarray(pulsevals, dtype=rdtype)
-        storage, checkpoints, psi_T, (J_T_val, J_a_val, J_b_val, tau) = (
-            _evaluate_forward(cp, pd, pulsevals)
+        storage, checkpoints, psi_T, (J_T_val, J_a_val, J_b_val, tau), Us = (
+            _evaluate_forward(
+                cp, pd, pulsevals, want_U=reuse_U and not recompute
+            )
         )
         J = J_T_val + J_a_val + J_b_val
 
@@ -846,9 +1151,23 @@ def build_fg(cp: CompiledProblem, amp_max=None):
         eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps))
         bw_step = _make_bw_step(cp, pd, eps, rho, safe_rho)
 
-        if not recompute:
+        if pallas_bw:
+            # fused backward kernel (χ'-recursion ∇τ unscaled by ρ)
+            tau_grads = _backward_pallas(
+                cp, pulsevals, storage, chi_hat, amp_max
+            ) * rho[None, :, None].astype(cdtype)
+            # convergence is guaranteed statically by the envelope-derived
+            # Taylor order (see _pallas_taylor_order)
+            taylor_ok_all = jnp.asarray(True)
+        elif not recompute and Us is not None and vec_bw:
+            # stored propagators → time-vectorized backward (phase A/B)
+            tau_grads, taylor_ok_all = _backward_vectorized(
+                cp, pulsevals, storage, Us, chi_hat, rho, safe_rho, amp_max
+            )
+        elif not recompute:
             def bw_body(chi, n):
-                return bw_step(chi, n, storage[n])
+                U_n = Us[n] if Us is not None else None
+                return bw_step(chi, n, storage[n], U_n)
 
             ns = jnp.arange(cp.n_timesteps - 1, -1, -1)
             _, (grads_rev, taylor_oks) = lax.scan(bw_body, chi_hat, ns)
@@ -857,22 +1176,30 @@ def build_fg(cp: CompiledProblem, amp_max=None):
         else:
             S = cp.storage_segments
             seg_len = cp.n_timesteps // S
-            fwd_step = _make_fwd_step(cp, pd, eps)
+            fwd_step = _make_fwd_step(cp, pd, eps, with_U=reuse_U)
 
             def seg_bwd(chi, s):
                 # recompute the forward states of segment s from its
                 # checkpoint, then run the backward gradient steps over it
+                # (with segment-local propagator reuse when applicable)
                 def inner_fwd(psi2, j):
                     n = s * seg_len + j
-                    return fwd_step(psi2, n), psi2  # store Ψ(t_n)
+                    if reuse_U:
+                        psi_new, U = fwd_step(psi2, n)
+                        return psi_new, (psi2, U)  # store Ψ(t_n), U_n
+                    return fwd_step(psi2, n), psi2
 
-                _, seg_psis = lax.scan(
+                _, seg_out = lax.scan(
                     inner_fwd, checkpoints[s], jnp.arange(seg_len)
+                )
+                seg_psis, seg_Us = (
+                    seg_out if reuse_U else (seg_out, None)
                 )
 
                 def inner_bwd(chi2, jj):
+                    U_n = seg_Us[jj] if seg_Us is not None else None
                     n = s * seg_len + jj
-                    return bw_step(chi2, n, seg_psis[jj])
+                    return bw_step(chi2, n, seg_psis[jj], U_n)
 
                 chi, (grads_rev, t_oks) = lax.scan(
                     inner_bwd, chi, jnp.arange(seg_len - 1, -1, -1)

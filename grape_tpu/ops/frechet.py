@@ -17,6 +17,7 @@ TPU-native replacements for the reference's two gradient engines:
   large dimensions.
 """
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -77,7 +78,7 @@ def gradgen_step(H, mu, chi, dt):
 
 
 def taylor_grad_step(H, mu, chi, dt, max_order=100, tolerance=1e-16,
-                     check_convergence=True, with_status=False):
+                     check_convergence=True, with_status=False, scale=None):
     """Taylor-series evaluation of ``(∂/∂ε exp(-1j H dt)) @ chi``.
 
     Recursion (reference ``src/optimize.jl:604-653`` / Kuprov & Rogers (20)):
@@ -91,15 +92,31 @@ def taylor_grad_step(H, mu, chi, dt, max_order=100, tolerance=1e-16,
     once the norm of the added term (max over the batch) falls below
     ``tolerance``; otherwise exactly ``max_order`` terms are used.  The series
     runs under ``lax.while_loop`` with a static ``max_order`` bound.
+
+    ``scale`` (a static host-side bound on the norm of ``H``) rescales the
+    recursion to iterate with ``H/scale``: the iterates stay O(1) and the
+    series weight ``(-i dt scale)^m/m!`` stays in f32 normal range.  The
+    unscaled recursion drives ``Φ_m ~ ‖H‖^m`` toward overflow while the
+    coefficient underflows — on TPU (flush-to-zero, no denormals) that
+    silently truncates the series early.  Mathematically identical.
     """
     A = jnp.asarray(H)
     mu = jnp.asarray(mu)
     chi = jnp.asarray(chi)
-    cdt = jnp.asarray(-1j * dt, dtype=A.dtype)
+    if scale is not None and float(scale) > 0:
+        h = float(scale)
+        A = A / np.dtype(A.dtype).type(h)
+        cdt = jnp.asarray(-1j * dt * h, dtype=A.dtype)
+        inv_h = np.dtype(A.dtype).type(1.0 / h)
+    else:
+        h = 1.0
+        cdt = jnp.asarray(-1j * dt, dtype=A.dtype)
+        inv_h = np.dtype(A.dtype).type(1.0)
+    tolerance = tolerance * h  # terms below are scaled by h
 
-    Hchi0 = chi  # H^{m-1} chi for m=1 -> H^0 chi
+    Hchi0 = chi  # (H/h)^{m-1} chi for m=1 -> identity
     phi1 = jnp.einsum("...lij,...j->...li", mu, chi)
-    acc = cdt * phi1  # m=1 term
+    acc = cdt * phi1  # m=1 term (scaled by h)
     coeff = cdt
 
     def cond(state):
@@ -126,6 +143,7 @@ def taylor_grad_step(H, mu, chi, dt, max_order=100, tolerance=1e-16,
 
     init = (jnp.asarray(2), Hchi0, phi1, acc, coeff, jnp.asarray(False))
     m_final, _, _, acc, _, done = lax.while_loop(cond, body, init)
+    acc = acc * inv_h
     if with_status:
         # converged iff the tolerance stop fired (not the max_order cap);
         # the reference raises on non-convergence (src/optimize.jl:640-646)
