@@ -326,19 +326,22 @@ def forward_scan_pallas_time(
     )
 
 
-def taylor_order_for_bound(bound, tolerance=1e-8, max_order=100):
-    """Static Taylor order: smallest ``m`` with ``bound^m / m! < tolerance``
-    (+2 safety), for the fused backward kernel.  ``bound`` is the host-side
-    envelope of ``|dt|·‖H‖`` (same bound that sizes the expm squarings).
+def taylor_order_for_bound(bound, tolerance=1e-8, max_order=100,
+                           prefactor=1.0):
+    """Static Taylor order for the χ'-recursion: smallest ``m`` with
+    ``prefactor · m · bound^m / m! < tolerance`` (+2 safety).  ``bound`` is
+    the host-side envelope of ``|dt|·‖H‖`` (same bound that sizes the expm
+    squarings); ``prefactor`` is ``‖μ‖/‖H‖`` — the recursion iterates
+    ``Φ_m = μ H^{m-1} χ + H Φ_{m-1}`` so ``‖Φ_m‖ ≤ m·‖μ‖·‖H‖^{m-1}`` and the
+    m-th series term is bounded by ``(‖μ‖/‖H‖)·m·(dt‖H‖)^m/m!``.
     Returns ``None`` if no order ≤ ``max_order`` satisfies the tolerance —
-    the caller then falls back to the XLA `while_loop` path, mirroring the
-    reference's non-convergence error (``src/optimize.jl:640-646``)."""
-    import math
-
-    term = 1.0
+    the caller then falls back to the dynamic ``lax.while_loop`` path,
+    mirroring the reference's non-convergence error
+    (``src/optimize.jl:640-646``)."""
+    term = max(float(prefactor), 1e-30)
     for m in range(1, max_order + 1):
         term *= max(float(bound), 1e-30) / m
-        if term < tolerance:
+        if m * term < tolerance:
             return min(m + 2, max_order)
     return None
 

@@ -34,27 +34,17 @@ class GrapeWrk:
         self.cp = compile_problem(trajectories, tlist, **self.kwargs)
         self._amp_bucket = None
         self._program_cache = {}
-        uses_cheby = "cheby" in (
-            self.cp.fw_prop_method, self.cp.bw_prop_method,
-            self.cp.grad_prop_method,
-        )
-        from .fg import _pallas_forward_enabled
+        from .fg import uses_static_envelope
 
-        uses_pallas = (
-            self.cp.fw_prop_method == "expprop"
-            and self.cp.storage_mode != "recompute"
-            and _pallas_forward_enabled(self.cp, None)
-        )
-        if uses_cheby or uses_pallas:
-            # amplitude-envelope bucketing: the Chebyshev coefficient
-            # tables AND the Pallas kernel's static squaring count are both
-            # derived from the envelope, so programs re-jit when the
-            # optimizer pushes pulses past the current bucket
-            # Chebyshev coefficient tables are static under jit, so the
-            # amplitude envelope is bucketed to powers of two and programs
-            # are re-jitted only when the optimizer pushes a pulse beyond
-            # the current bucket (the reference instead re-initializes its
-            # Cheby propagators with control-range hints each evaluation,
+        if uses_static_envelope(self.cp):
+            # Amplitude-envelope bucketing: Chebyshev coefficient tables,
+            # the Pallas kernels' static squaring counts, AND the
+            # vectorized-Taylor backward's static order count are all
+            # derived from the envelope.  The envelope is bucketed to
+            # powers of two and programs are re-jitted only when the
+            # optimizer pushes a pulse beyond the current bucket (the
+            # reference instead re-initializes its Cheby propagators with
+            # control-range hints each evaluation,
             # src/optimize.jl:656-662,722).
             self._amp_bucket = self._bucket_for(
                 np.max(np.abs(self.cp.guess_pulsevals), axis=1)
@@ -185,6 +175,16 @@ class GrapeWrk:
     def evaluate_gradient(self, x, G_out=None):
         self._ensure_envelope(x)
         J, G, aux = self.fg(np.asarray(x, dtype=np.float64))
+        if not bool(aux.get("taylor_ok", True)) and self._amp_bucket:
+            # safety net: the static Taylor order was sized from the
+            # amplitude envelope; if the honest last-term check still
+            # fails (envelope bound too loose for this problem), grow
+            # the bucket once — more orders — before giving up
+            self._amp_bucket = self._bucket_for(
+                2.0 * np.asarray(self._amp_bucket)
+            )
+            self.fg, self.f = self._programs()
+            J, G, aux = self.fg(np.asarray(x, dtype=np.float64))
         self.fg_count[0] += 1
         self.result.fg_calls += 1
         self.J_parts[:] = np.asarray(aux["J_parts"], dtype=np.float64)
