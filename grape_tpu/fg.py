@@ -99,6 +99,10 @@ class CompiledProblem:
     ctl_idx: tuple = ()  # static control index per term (None = locked)
     reuse_propagators: Any = "auto"
     vectorize_backward: bool = True
+    # host-side operator norms cached at compile time (so envelope math
+    # never needs device->host transfers once the arrays are sharded):
+    # {"h0": ||H0||_1 max over k, "ops": (T,) per-term ||Op_j||_1 max over k}
+    norm_cache: Any = None
 
     @property
     def dt(self):
@@ -284,7 +288,54 @@ def compile_problem(
         ctl_idx=tuple(ctl_idx),
         reuse_propagators=reuse_propagators,
         vectorize_backward=bool(vectorize_backward),
+        norm_cache=_make_norm_cache(
+            H0, ops,
+            with_spectral="cheby" in (
+                _normalize_prop_method(prop_method),
+                _normalize_prop_method(
+                    fw_prop_method if fw_prop_method is not None
+                    else prop_method
+                ),
+                _normalize_prop_method(
+                    bw_prop_method if bw_prop_method is not None
+                    else prop_method
+                ),
+                _normalize_prop_method(
+                    grad_prop_method if grad_prop_method is not None
+                    else prop_method
+                ),
+            ),
+        ),
     )
+
+
+def _make_norm_cache(H0, ops, with_spectral=False):
+    """Host-side operator norms (and, for Chebyshev, per-trajectory
+    spectral data) captured while the arrays are still host numpy."""
+    K = H0.shape[0]
+    cache = {
+        "h0": max(
+            float(np.abs(H0[k]).sum(axis=0).max()) for k in range(K)
+        ),
+        "ops": np.asarray([
+            max(
+                float(np.abs(ops[k, j]).sum(axis=0).max())
+                for k in range(K)
+            )
+            for j in range(ops.shape[1])
+        ]),
+    }
+    if with_spectral:
+        eig_lo = np.empty(K)
+        eig_hi = np.empty(K)
+        op2 = np.empty((K, ops.shape[1]))
+        for k in range(K):
+            w = np.linalg.eigvalsh(0.5 * (H0[k] + H0[k].conj().T))
+            eig_lo[k], eig_hi[k] = w[0], w[-1]
+            for j in range(ops.shape[1]):
+                op2[k, j] = np.linalg.norm(ops[k, j], 2)
+        cache["spec"] = {"eig_lo": eig_lo, "eig_hi": eig_hi, "op2": op2}
+    return cache
 
 
 
@@ -341,9 +392,19 @@ def _cheby_data(cp: CompiledProblem, amp_max):
         _np.einsum("ntl,l->nt", _np.abs(M), amp_max)
         + _np.abs(_np.asarray(cp.Mfix))
     ).max(axis=0)  # (T,)
-    E_min, E_max = spectral_envelope(
-        _np.asarray(cp.H0), _np.asarray(cp.ops), -cmax, cmax
-    )
+    spec = (cp.norm_cache or {}).get("spec")
+    if spec is not None:
+        # compile-time spectral cache: no device read-back needed once the
+        # operator arrays live sharded on the mesh
+        lo = spec["eig_lo"] - spec["op2"] @ cmax  # (K,)
+        hi = spec["eig_hi"] + spec["op2"] @ cmax
+        E_min, E_max = float(lo.min()), float(hi.max())
+        span = max(E_max - E_min, 1e-12)
+        E_min, E_max = E_min - 0.05 * span, E_max + 0.05 * span
+    else:
+        E_min, E_max = spectral_envelope(
+            _np.asarray(cp.H0), _np.asarray(cp.ops), -cmax, cmax
+        )
     dE = E_max - E_min
     shift = E_max + E_min  # normalization H_norm = (2H - shift)/dE
     dt = _np.diff(_np.asarray(cp.tlist, dtype=_np.float64))
@@ -708,19 +769,29 @@ def _h_norm_bound(cp: CompiledProblem, amp_max=None):
         np.einsum("ntl,l->nt", np.abs(M), np.asarray(amp_max))
         + np.abs(np.asarray(cp.Mfix))
     ).max(axis=0)
+    h0n, opn = _op_norms(cp)
+    coupling = float(np.dot(cmax, opn)) if len(opn) else 0.0
+    return h0n + coupling
+
+
+def _op_norms(cp: CompiledProblem):
+    """``(‖H0‖_1 max over k, per-term ‖Op_j‖_1 max over k)`` — from the
+    compile-time cache when available (the arrays may live sharded on
+    device, where a host read-back would be a collective + transfer)."""
+    if cp.norm_cache is not None:
+        return cp.norm_cache["h0"], np.asarray(cp.norm_cache["ops"])
     h0n = max(
         float(np.abs(np.asarray(cp.H0[k])).sum(axis=0).max())
         for k in range(cp.n_traj)
     )
-    opn = [
+    opn = np.asarray([
         max(
             float(np.abs(np.asarray(cp.ops[k, j])).sum(axis=0).max())
             for k in range(cp.n_traj)
         )
         for j in range(cp.ops.shape[1])
-    ]
-    coupling = float(np.dot(cmax, opn)) if opn else 0.0
-    return h0n + coupling
+    ])
+    return h0n, opn
 
 
 def _mu_norm_bound(cp: CompiledProblem):
@@ -729,13 +800,7 @@ def _mu_norm_bound(cp: CompiledProblem):
     M = np.asarray(cp.M)  # (N_T, T, L)
     if M.shape[1] == 0 or M.shape[2] == 0:
         return 0.0
-    opn = np.asarray([
-        max(
-            float(np.abs(np.asarray(cp.ops[k, j])).sum(axis=0).max())
-            for k in range(cp.n_traj)
-        )
-        for j in range(cp.ops.shape[1])
-    ])
+    _, opn = _op_norms(cp)
     return float(np.einsum("ntl,t->nl", np.abs(M), opn).max())
 
 

@@ -40,6 +40,15 @@ def optimize(trajectories, tlist, **kwargs):
     ``verbose``, ``rethrow_exceptions``, ``print_iters``/``print_iter_info``/
     ``store_iter_info``, optimizer tuning (``lbfgsb_m``, ``lbfgsb_factr``,
     ``lbfgsb_pgtol``, ``lbfgsb_iprint``) and ``optimizer`` backend selection.
+
+    ``mesh`` (a ``jax.sharding.Mesh``, e.g. from ``parallel.make_mesh`` or
+    ``parallel.make_host_chip_mesh``) shards the trajectory axis over the
+    mesh devices: the whole optimization loop then runs SPMD with the
+    ``Σ_k`` reductions lowered to ``psum`` collectives and the host-side
+    optimizer consuming the fully reduced gradient — the multi-chip analog
+    of the reference's ``use_threads`` trajectory parallelism
+    (``/root/reference/src/optimize.jl:720,876``).  The number of
+    trajectories must be divisible by the mesh size.
     """
     if "update_hook" in kwargs or "info_hook" in kwargs:
         raise ValueError(

@@ -26,11 +26,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..fg import CompiledProblem, build_fg
+from ..fg import CompiledProblem, build_f, build_fg
 from ..trajectory import Trajectory
 
 __all__ = [
-    "make_mesh", "shard_problem", "build_fg_sharded", "ensemble_trajectories",
+    "make_mesh", "make_host_chip_mesh", "init_distributed", "shard_problem",
+    "build_fg_sharded", "build_f_sharded", "ensemble_trajectories",
+    "traj_axes",
 ]
 
 
@@ -43,9 +45,56 @@ def make_mesh(n_devices=None, axis="traj", devices=None):
     return Mesh(np.array(devices), (axis,))
 
 
-def shard_problem(cp: CompiledProblem, mesh, axis="traj"):
+def make_host_chip_mesh(n_hosts=None, devices=None):
+    """A 2D ``(host, chip)`` mesh: the trajectory axis shards over BOTH axes
+    (``P(('host', 'chip'))``), laid out so the per-host trajectory blocks
+    are contiguous — the ``Σ_k`` psum then reduces over ICI within each host
+    first and crosses DCN only for the per-host partial sums.
+
+    With ``jax.distributed`` initialized (see :func:`init_distributed`),
+    ``jax.devices()`` spans all hosts and ``n_hosts`` defaults to
+    ``jax.process_count()``; on one host this builds an ``(1, n_chips)``
+    mesh, useful for testing the 2D code path."""
+    if devices is None:
+        devices = jax.devices()
+    if n_hosts is None:
+        n_hosts = max(jax.process_count(), 1)
+    n_dev = len(devices)
+    if n_dev % n_hosts != 0:
+        raise ValueError(
+            f"device count ({n_dev}) not divisible by host count ({n_hosts})"
+        )
+    grid = np.array(devices).reshape(n_hosts, n_dev // n_hosts)
+    return Mesh(grid, ("host", "chip"))
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None, **kwargs):
+    """Initialize multi-host JAX (``jax.distributed.initialize``) so every
+    host sees the global device set; afterwards :func:`make_host_chip_mesh`
+    builds the global 2D mesh.  On managed platforms (Cloud TPU) all
+    arguments auto-detect; returns the global device list."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+    return jax.devices()
+
+
+def traj_axes(mesh):
+    """The mesh axis name (or tuple of names) the trajectory axis shards
+    over: all axes of the mesh."""
+    names = tuple(mesh.axis_names)
+    return names[0] if len(names) == 1 else names
+
+
+def shard_problem(cp: CompiledProblem, mesh, axis=None):
     """Place the per-trajectory arrays of a compiled problem on `mesh`,
-    sharded along ``K``.  ``K`` must be divisible by the mesh size."""
+    sharded along ``K``.  ``K`` must be divisible by the mesh size.
+    For a 2D ``(host, chip)`` mesh the trajectory axis shards over both
+    mesh axes."""
     n_dev = mesh.devices.size
     if cp.n_traj % n_dev != 0:
         raise ValueError(
@@ -53,6 +102,8 @@ def shard_problem(cp: CompiledProblem, mesh, axis="traj"):
             f"the mesh size ({n_dev}); pad the ensemble with zero-weight "
             f"trajectories"
         )
+    if axis is None:
+        axis = traj_axes(mesh)
     traj_sharding = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
     import dataclasses
@@ -68,13 +119,16 @@ def shard_problem(cp: CompiledProblem, mesh, axis="traj"):
     )
 
 
-def build_fg_sharded(cp: CompiledProblem, mesh, axis="traj", amp_max=None):
+def build_fg_sharded(cp: CompiledProblem, mesh, axis=None, amp_max=None,
+                     presharded=False):
     """The jitted fg program with explicit shardings: pulse vector
     replicated in, ``(J, grad)`` fully reduced (replicated) out.  XLA's SPMD
     partitioner propagates the ``P('traj')`` sharding of the problem arrays
     through the scans and inserts the cross-trajectory ``psum`` collectives
-    for the ``Σ_k`` reductions."""
-    cp = shard_problem(cp, mesh, axis=axis)
+    for the ``Σ_k`` reductions.  With ``presharded``, ``cp``'s arrays
+    already live on the mesh (skips the device_put)."""
+    if not presharded:
+        cp = shard_problem(cp, mesh, axis=axis)
     fg = build_fg(cp, amp_max=amp_max)
     repl = NamedSharding(mesh, P())
 
@@ -84,6 +138,22 @@ def build_fg_sharded(cp: CompiledProblem, mesh, axis="traj", amp_max=None):
         out_shardings=(repl, repl, None),
     )
     return fg_sharded, cp
+
+
+def build_f_sharded(cp: CompiledProblem, mesh, axis=None, amp_max=None,
+                    presharded=False):
+    """Sharded functional-only program (line-search F probes)."""
+    if not presharded:
+        cp = shard_problem(cp, mesh, axis=axis)
+    f = build_f(cp, amp_max=amp_max)
+    repl = NamedSharding(mesh, P())
+
+    f_sharded = jax.jit(
+        lambda pulsevals: f(pulsevals),
+        in_shardings=repl,
+        out_shardings=(repl, None),
+    )
+    return f_sharded, cp
 
 
 def ensemble_trajectories(base_trajectory, generators, weights=None):

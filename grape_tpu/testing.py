@@ -12,7 +12,10 @@ import numpy as np
 from .generators import hamiltonian
 from .trajectory import ControlProblem, Trajectory
 
-__all__ = ["random_matrix", "random_state_vector", "dummy_control_problem"]
+__all__ = [
+    "random_matrix", "random_state_vector", "dummy_control_problem",
+    "tls_problem", "stirap_problem", "cnot_problem",
+]
 
 
 def random_matrix(N, rng=None, hermitian=False):

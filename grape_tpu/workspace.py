@@ -32,6 +32,17 @@ class GrapeWrk:
         self.trajectories = list(trajectories)
         self.tlist = np.asarray(tlist, dtype=np.float64)
         self.cp = compile_problem(trajectories, tlist, **self.kwargs)
+        self.mesh = self.kwargs.get("mesh", None)
+        if self.mesh is not None:
+            # driver-level trajectory parallelism: the problem arrays are
+            # sharded over the mesh ONCE; every (re-)built program then
+            # runs SPMD with psum-reduced (J, grad) consumed by the
+            # host-side optimizer — the reference parallelizes the whole
+            # optimization loop the same way (@threadsif around both hot
+            # loops, /root/reference/src/optimize.jl:720,876)
+            from .parallel import shard_problem
+
+            self.cp = shard_problem(self.cp, self.mesh)
         self._amp_bucket = None
         self._program_cache = {}
         from .fg import uses_static_envelope
@@ -139,10 +150,21 @@ class GrapeWrk:
         key = self._amp_bucket
         if key not in self._program_cache:
             amp_max = np.asarray(key) if key is not None else None
-            self._program_cache[key] = (
-                build_fg(self.cp, amp_max=amp_max),
-                build_f(self.cp, amp_max=amp_max),
-            )
+            if self.mesh is not None:
+                from .parallel import build_f_sharded, build_fg_sharded
+
+                fg, _ = build_fg_sharded(
+                    self.cp, self.mesh, amp_max=amp_max, presharded=True
+                )
+                f, _ = build_f_sharded(
+                    self.cp, self.mesh, amp_max=amp_max, presharded=True
+                )
+                self._program_cache[key] = (fg, f)
+            else:
+                self._program_cache[key] = (
+                    build_fg(self.cp, amp_max=amp_max),
+                    build_f(self.cp, amp_max=amp_max),
+                )
         return self._program_cache[key]
 
     def _ensure_envelope(self, x):
