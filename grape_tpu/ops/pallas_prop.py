@@ -29,7 +29,7 @@ from .expm import _FACT_INV
 
 __all__ = [
     "forward_scan_pallas", "forward_scan_pallas_time",
-    "backward_scan_pallas", "taylor_order_for_bound", "pallas_available",
+    "taylor_order_for_bound", "pallas_available",
 ]
 
 
@@ -344,208 +344,6 @@ def taylor_order_for_bound(bound, tolerance=1e-8, max_order=100,
         if m * term < tolerance:
             return min(m + 2, max_order)
     return None
-
-
-def _bw_kernel(
-    tab_ref,  # scalar-prefetch (N_T, 2T+1): [coeffs | mu-weights | dt]
-              # packed into ONE table — SMEM pads each operand's lanes to
-              # 128, so separate tables would overflow the 1 MB SMEM
-    h0dr_ref, h0di_ref, opsdr_ref, opsdi_ref,  # adjoint planes
-    psir_ref, psii_ref,            # (1, 1, d) block: psi(t_n) streamed
-    chi0r_ref, chi0i_ref,          # (1, 1, d) normalized chi(T)
-    goutr_ref, gouti_ref,          # (1, N_T, L) grad slabs (VMEM-resident)
-    chir_ref, chii_ref,            # scratch carry (1, d)
-    mudr_ref, mudi_ref,            # scratch (L, d, d): mu_l† of this step
-    *, degree, n_squarings, n_terms, n_controls, n_steps, taylor_order,
-    ctl_idx,
-):
-    """One backward GRAPE gradient step per grid point (k outer, time inner,
-    descending).  Fuses — entirely in VMEM — what the XLA path dispatches as
-    ~30 HLO ops per step (reference semantics: ``src/optimize.jl:913-994``,
-    taylor branch):
-
-      χ'_l  = Σ_{m≥1} (i·dt)^m/m! Φ_m,  Φ_1 = μ_l†χ, Φ_m = μ_l†H†^{m-1}χ + H†Φ_{m-1}
-      ∇τ_nl = ⟨χ'_l|ψ(t_n)⟩            (ρ scaling applied outside)
-      χ    ← exp(+i·dt·H†) χ
-
-    The Taylor order is static (host-side envelope bound) instead of the
-    XLA path's data-dependent ``lax.while_loop``.
-    """
-    nrev = pl.program_id(1)
-    n = n_steps - 1 - nrev
-
-    @pl.when(nrev == 0)
-    def _():
-        chir_ref[...] = chi0r_ref[0]
-        chii_ref[...] = chi0i_ref[0]
-
-    # H† = H0† + Σ_j c_nj Op_j†  (coefficients are real)
-    hdr = h0dr_ref[0]
-    hdi = h0di_ref[0]
-    for j in range(n_terms):
-        c = tab_ref[n, j]
-        hdr = hdr + c * opsdr_ref[0, j]
-        hdi = hdi + c * opsdi_ref[0, j]
-    dt = tab_ref[n, 2 * n_terms]
-
-    # μ_l† = Σ_{j: ctl(j)=l} Mmu[n,j] Op_j†  into the (L, d, d) scratch
-    built = [False] * n_controls
-    for j, l in enumerate(ctl_idx):
-        if l is None:
-            continue
-        w = tab_ref[n, n_terms + j]
-        if not built[l]:
-            mudr_ref[l] = w * opsdr_ref[0, j]
-            mudi_ref[l] = w * opsdi_ref[0, j]
-            built[l] = True
-        else:
-            mudr_ref[l] = mudr_ref[l] + w * opsdr_ref[0, j]
-            mudi_ref[l] = mudi_ref[l] + w * opsdi_ref[0, j]
-
-    chir = chir_ref[...]
-    chii = chii_ref[...]
-
-    # Taylor recursion, static order; cdt = i·dt (backward step of the
-    # adjoint generator: -i·(-dt) = +i·dt)
-    hmr, hmi = chir, chii  # H†^{m-1} χ  (m=1)
-    phir_rows = []
-    phii_rows = []
-    for l in range(n_controls):
-        wr, wi = _cmatvec(mudr_ref[l], mudi_ref[l], chir, chii)
-        phir_rows.append(wr)
-        phii_rows.append(wi)
-    phir = jnp.concatenate(phir_rows, axis=0)  # (L, d)
-    phii = jnp.concatenate(phii_rows, axis=0)
-    # coeff = (i·dt)^m / m!  tracked as a real/imag scalar pair
-    cr = jnp.float32(0.0) * dt
-    ci = dt
-    accr = cr * phir - ci * phii
-    acci = cr * phii + ci * phir
-    for m in range(2, taylor_order + 1):
-        hmr, hmi = _cmatvec(hdr, hdi, hmr, hmi)
-        wr_rows = []
-        wi_rows = []
-        for l in range(n_controls):
-            wr, wi = _cmatvec(mudr_ref[l], mudi_ref[l], hmr, hmi)
-            wr_rows.append(wr)
-            wi_rows.append(wi)
-        hp_r, hp_i = _cmatvec(hdr, hdi, phir, phii)
-        phir = jnp.concatenate(wr_rows, axis=0) + hp_r
-        phii = jnp.concatenate(wi_rows, axis=0) + hp_i
-        # coeff *= i·dt/m
-        inv_m = np.float32(1.0 / m)
-        cr, ci = (-ci * dt) * inv_m, (cr * dt) * inv_m
-        accr = accr + cr * phir - ci * phii
-        acci = acci + cr * phii + ci * phir
-
-    # ∇τ_nl = ⟨χ'_l | ψ(t_n)⟩ = Σ_i conj(χ'_li) ψ_i
-    psir = psir_ref[0, 0]  # (1, d)
-    psii = psii_ref[0, 0]
-    gr = _dot(accr, psir.T) + _dot(acci, psii.T)  # (L, 1)
-    gi = _dot(accr, psii.T) - _dot(acci, psir.T)
-    goutr_ref[0, pl.ds(n, 1), :] = gr.T
-    gouti_ref[0, pl.ds(n, 1), :] = gi.T
-
-    # χ ← exp(+i·dt·H†) χ :  A = i·dt·H† → Ar = -dt·Hi†, Ai = dt·Hr†
-    er, ei = _expm_taylor_kernel_body(-dt * hdi, dt * hdr, degree, n_squarings)
-    vr, vi = _cmatvec(er, ei, chir, chii)
-    chir_ref[...] = vr
-    chii_ref[...] = vi
-
-
-def backward_scan_pallas(
-    H0, ops, coeffs, mmu, ctl_idx, dts, psi_planes, chi_planes,
-    n_squarings, taylor_order, degree=16, interpret=False,
-):
-    """Full backward gradient scan as one Pallas kernel.
-
-    Args:
-      H0:    (K, d, d) complex64 drift
-      ops:   (K, T, d, d) complex64 control-term operators
-      coeffs: (N_T, T) float32 per-step H coefficients
-      mmu:   (N_T, T) float32 per-step μ weights (term shape values)
-      ctl_idx: static tuple, control index per term (None for locked terms)
-      dts:   (N_T,) float32
-      psi_planes: (2, K, N_T+1, d) float32 forward storage (real, imag)
-      chi_planes: (2, K, d) float32 normalized boundary co-states
-      n_squarings, taylor_order: static (host amplitude envelope)
-
-    Returns: (gradr, gradi) each (K, N_T, L) float32 with
-    ``grad[k, n, l] = ⟨χ'_kl(t_n)|ψ_k(t_n)⟩`` (unscaled by ρ).
-    """
-    K, d = chi_planes.shape[1:]
-    T = ops.shape[1]
-    N_T = coeffs.shape[0]
-    L = len([l for l in set(ctl_idx) if l is not None])
-    f32 = jnp.float32
-    # adjoint planes: (A†)_re = A_re^T, (A†)_im = -A_im^T
-    h0dr = jnp.swapaxes(jnp.real(H0), -1, -2).astype(f32)
-    h0di = -jnp.swapaxes(jnp.imag(H0), -1, -2).astype(f32)
-    opsdr = jnp.swapaxes(jnp.real(ops), -1, -2).astype(f32)
-    opsdi = -jnp.swapaxes(jnp.imag(ops), -1, -2).astype(f32)
-    # dummy singleton axis so the streamed row block (1, 1, 1, d) has its
-    # last two dims equal to the array's (Mosaic block-shape constraint)
-    psir = psi_planes[0].astype(f32)[:, :, None, :]  # (K, N_T+1, 1, d)
-    psii = psi_planes[1].astype(f32)[:, :, None, :]
-    chir = chi_planes[0].astype(f32)[:, None, :]  # (K, 1, d)
-    chii = chi_planes[1].astype(f32)[:, None, :]
-    tab = jnp.concatenate(
-        [
-            jnp.asarray(coeffs, dtype=f32),
-            jnp.asarray(mmu, dtype=f32),
-            jnp.asarray(dts, dtype=f32).reshape(N_T, 1),
-        ],
-        axis=1,
-    )  # (N_T, 2T+1)
-
-    kernel = functools.partial(
-        _bw_kernel, degree=degree, n_squarings=int(n_squarings),
-        n_terms=T, n_controls=L, n_steps=N_T,
-        taylor_order=int(taylor_order), ctl_idx=tuple(ctl_idx),
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(K, N_T),
-        in_specs=[
-            pl.BlockSpec((1, d, d), lambda k, n, *_: (k, 0, 0)),
-            pl.BlockSpec((1, d, d), lambda k, n, *_: (k, 0, 0)),
-            pl.BlockSpec((1, T, d, d), lambda k, n, *_: (k, 0, 0, 0)),
-            pl.BlockSpec((1, T, d, d), lambda k, n, *_: (k, 0, 0, 0)),
-            # ψ(t_n) for this step, streamed row by row (descending n)
-            pl.BlockSpec(
-                (1, 1, 1, d),
-                lambda k, n, *_, n_steps=N_T: (k, n_steps - 1 - n, 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, d),
-                lambda k, n, *_, n_steps=N_T: (k, n_steps - 1 - n, 0, 0),
-            ),
-            pl.BlockSpec((1, 1, d), lambda k, n, *_: (k, 0, 0)),
-            pl.BlockSpec((1, 1, d), lambda k, n, *_: (k, 0, 0)),
-        ],
-        out_specs=[
-            # whole (N_T, L) grad slab per trajectory, VMEM-resident across
-            # the sequential time steps (same trick as the forward storage)
-            pl.BlockSpec((1, N_T, L), lambda k, n, *_: (k, 0, 0)),
-            pl.BlockSpec((1, N_T, L), lambda k, n, *_: (k, 0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((1, d), f32),
-            pltpu.VMEM((1, d), f32),
-            pltpu.VMEM((L, d, d), f32),
-            pltpu.VMEM((L, d, d), f32),
-        ],
-    )
-    gradr, gradi = pl.pallas_call(
-        kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((K, N_T, L), f32),
-            jax.ShapeDtypeStruct((K, N_T, L), f32),
-        ],
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(tab, h0dr, h0di, opsdr, opsdi, psir, psii, chir, chii)
-    return gradr, gradi
 
 
 def pallas_available():

@@ -41,6 +41,17 @@ def optimize(trajectories, tlist, **kwargs):
     ``store_iter_info``, optimizer tuning (``lbfgsb_m``, ``lbfgsb_factr``,
     ``lbfgsb_pgtol``, ``lbfgsb_iprint``) and ``optimizer`` backend selection.
 
+    ``fw_prop_callback`` (with optional ``fw_prop_observables``, a list of
+    functions ``(Psi (K, d), tlist, n) -> array``) receives per-time-step
+    observable values over the stored forward states after every
+    evaluation: ``fw_prop_callback(values, tlist)`` with ``values`` a tuple
+    of complex ``(N_T+1, ...)`` arrays (the states themselves if no
+    observables are given).  Deviation from the reference (which invokes
+    the callback inside the propagation loop after each ``prop_step!``,
+    ``src/optimize.jl:733-737``): under jit the forward pass is one fused
+    scan, so the callback fires once per evaluation with all per-step
+    values — identical information, different cadence.
+
     ``mesh`` (a ``jax.sharding.Mesh``, e.g. from ``parallel.make_mesh`` or
     ``parallel.make_host_chip_mesh``) shards the trajectory axis over the
     mesh devices: the whole optimization loop then runs SPMD with the

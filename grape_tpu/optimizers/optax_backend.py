@@ -19,6 +19,7 @@ class OptaxBackend:
         self.project_bounds = project_bounds
 
     def run(self, wrk, fg, callback, check_convergence):
+        import jax
         import jax.numpy as jnp
         from ..optimize import apply_convergence_check, update_result
 
@@ -26,6 +27,24 @@ class OptaxBackend:
         wrk.pulsevals = x
         state = self.tx.init(jnp.asarray(x))
         g = np.zeros_like(x)
+
+        # Differentiable objective for optax linesearches: optax hard-wires
+        # jax.value_and_grad / jax.linearize onto value_fn, but the GRAPE
+        # device program already produces the EXACT gradient (per-step
+        # Fréchet scheme) without AD — expose it via custom_jvp so both
+        # forward (linearize) and reverse (value_and_grad) modes reuse it
+        # instead of differentiating through the propagation scans.
+        @jax.custom_jvp
+        def value_fn(p):
+            return wrk.f(p)[0]
+
+        @value_fn.defjvp
+        def _value_jvp(primals, tangents):
+            (p,), (t,) = primals, tangents
+            J, grad, _aux = wrk.fg(p)
+            return J, jnp.vdot(grad, t)
+
+        self._value_fn = value_fn
 
         # iteration 0
         f = fg(0.0, g, x)
@@ -46,11 +65,10 @@ class OptaxBackend:
             updates, state = self.tx.update(
                 jnp.asarray(g), state, jnp.asarray(x),
                 value=jnp.asarray(f), grad=jnp.asarray(g),
-                value_fn=lambda p: wrk.f(p)[0],
+                value_fn=self._value_fn,
             )
             step = np.asarray(updates)
-            wrk.searchdirection[:] = step
-            wrk.alpha = 1.0
+            self._capture_introspection(wrk, state, step)
             x += step
             if has_bounds and self.project_bounds:
                 np.clip(x, wrk.lower_bounds, wrk.upper_bounds, out=x)
@@ -67,3 +85,30 @@ class OptaxBackend:
             wrk.pulsevals_guess[:] = x
             wrk.gradient_guess[:] = g
         return None
+
+    @staticmethod
+    def _capture_introspection(wrk, state, step):
+        """Honest step-width/search-direction introspection: when the
+        transformation carries a line-search learning rate (optax.lbfgs's
+        zoom linesearch), ``α`` is that rate and ``s = Δu/α`` is the
+        direction it scaled; otherwise the update IS the step taken, so
+        ``α = 1`` and ``s = Δu`` (the invariant ``Δu = α·s`` holds exactly
+        either way — cf. the reference's Optim introspection,
+        ``ext/GRAPEOptimExt.jl:106-113``)."""
+        alpha = None
+        try:
+            import optax.tree_utils as otu
+
+            lr = otu.tree_get(state, "learning_rate")
+            if lr is not None:
+                lr = float(lr)
+                if np.isfinite(lr) and lr > 0.0:
+                    alpha = lr
+        except Exception:
+            pass
+        if alpha is None:
+            wrk.alpha = 1.0
+            wrk.searchdirection[:] = step
+        else:
+            wrk.alpha = alpha
+            wrk.searchdirection[:] = step / alpha

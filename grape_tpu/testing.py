@@ -63,21 +63,13 @@ def dummy_control_problem(
 
 def tls_problem(n_steps=500, T=5.0, **kwargs):
     """The README/TLS |0⟩→|1⟩ transfer problem (reference
-    ``test/test_tls_optimization.jl:148-173``): σ_z drift, σ_x drive with
-    a 0.2-amplitude Blackman-flattop guess."""
+    ``test/test_tls_optimization.jl:148-173``) with ``J_T_sm`` defaulted —
+    delegates to :func:`grape_tpu.models.tls_problem`."""
     from .functionals import J_T_sm
-    from .shapes import flattop
+    from .models import tls_problem as _tls
 
-    def eps(t):
-        return 0.2 * float(flattop(t, T=T, t_rise=0.3, func="blackman"))
-
-    sz = np.array([[1, 0], [0, -1]], dtype=complex)
-    sx = np.array([[0, 1], [1, 0]], dtype=complex)
-    H = hamiltonian(-0.5 * sz, (sx, eps))
-    tlist = np.linspace(0, T, n_steps + 1)
-    traj = Trajectory([1, 0], H, target_state=[0, 1])
     kwargs.setdefault("J_T", J_T_sm)
-    return ControlProblem([traj], tlist, **kwargs)
+    return _tls(n_steps=n_steps, T=T, **kwargs)
 
 
 def stirap_problem(lambda_b=0.0, n_steps=500, **kwargs):

@@ -192,7 +192,25 @@ class GrapeWrk:
         self.J_parts[:] = np.asarray(aux["J_parts"], dtype=np.float64)
         self.tau_vals[:] = unpack_complex(aux["tau"])
         self.states = unpack_complex(aux["psi_T"])
+        self._dispatch_fw_prop_callback(aux)
         return float(J)
+
+    def _dispatch_fw_prop_callback(self, aux):
+        """Post-hoc per-step observables callback: the reference invokes
+        the ``fw_prop_`` callback after every forward ``prop_step!``
+        (``src/optimize.jl:733-737``); here the jitted program evaluates
+        the observables over the whole stored trajectory and the callback
+        receives all per-step values once per evaluation (documented
+        deviation; identical information).  Signature:
+        ``fw_prop_callback(values, tlist)`` with ``values`` a tuple of
+        complex ``(N_T+1, ...)`` arrays (the states themselves when no
+        ``fw_prop_observables`` were given)."""
+        if self.cp.fw_prop_callback is None:
+            return
+        values = tuple(
+            unpack_complex(v) for v in aux["fw_observables"]
+        )
+        self.cp.fw_prop_callback(values, self.tlist)
 
     def evaluate_gradient(self, x, G_out=None):
         self._ensure_envelope(x)
@@ -230,6 +248,7 @@ class GrapeWrk:
         self.gradient[:] = G
         self.grad_J_Tb[:] = np.asarray(aux["grad_J_Tb"], dtype=np.float64)
         self.grad_J_a[:] = np.asarray(aux["grad_J_a"], dtype=np.float64)
+        self._dispatch_fw_prop_callback(aux)
         return float(J), G
 
 

@@ -45,3 +45,39 @@ def test_optax_adam():
         print_iters=False, rethrow_exceptions=True,
     )
     assert res.J_T < 0.3  # adam makes steady progress (non-monotonic)
+
+
+def test_optax_lbfgs_introspection_consistency():
+    """Introspection invariant Δu = α·s on the optax backend (VERDICT.md
+    round-1 item 10: α must be the real line-search step width, not a
+    hardcoded 1.0).  optax.lbfgs carries a zoom-linesearch learning rate;
+    α must match it and ǁΔuǁ = α·ǁsǁ must hold."""
+    import optax.tree_utils  # noqa: F401  (require the introspection API)
+
+    from grape_tpu.workspace import (
+        norm_search, pulse_update, step_width,
+    )
+
+    trajs, tlist = _tls()
+    seen = []
+
+    def cb(wrk, iteration):
+        if iteration > 0:
+            seen.append(
+                (step_width(wrk), norm_search(wrk),
+                 np.linalg.norm(pulse_update(wrk)))
+            )
+
+    res = optimize(
+        trajs, tlist, J_T=J_T_sm, iter_stop=5,
+        optimizer=optax.lbfgs(),
+        callback=cb, print_iters=False, rethrow_exceptions=True,
+    )
+    assert len(seen) >= 1
+    alphas = [a for a, _, _ in seen]
+    # the zoom linesearch takes non-unit steps at least once on this problem
+    assert any(abs(a - 1.0) > 1e-9 for a in alphas), alphas
+    for alpha, ns, nu in seen:
+        assert np.isfinite(alpha) and alpha > 0
+        # Δu = α·s (up to the bound projection, inactive here)
+        assert abs(nu - alpha * ns) <= 1e-9 * max(1.0, nu)

@@ -58,3 +58,62 @@ def test_empty_optimization_raises():
     problem = ControlProblem(trajectories, tlist, J_T=J_T_re)
     with pytest.raises(ValueError, match="no controls in trajectories"):
         optimize_problem(problem, rethrow_exceptions=True)
+
+
+def test_fw_prop_callback_observables():
+    """Per-step forward-propagation observables (reference fw_prop
+    callback, src/optimize.jl:733-737): the jitted program evaluates the
+    observables over the stored states and the host callback receives all
+    per-step values once per evaluation (documented deviation)."""
+    import jax.numpy as jnp
+
+    from grape_tpu import propagate, substitute, get_controls
+    from grape_tpu.testing import tls_problem
+    from grape_tpu import optimize_problem
+
+    problem = tls_problem(n_steps=100, iter_stop=2)
+    calls = []
+
+    def pop1(Psi, tlist, n):
+        return jnp.abs(Psi[..., 1]) ** 2  # (K,)
+
+    def cb(values, tlist):
+        calls.append(values)
+
+    res = optimize_problem(
+        problem, fw_prop_callback=cb, fw_prop_observables=[pop1],
+        print_iters=False, rethrow_exceptions=True,
+    )
+    assert len(calls) >= 3  # one per fg/f evaluation
+    vals = calls[-1]
+    assert len(vals) == 1
+    assert vals[0].shape == (101, 1)  # (N_T+1, K)
+    # cross-check against an independent propagation of the final pulse
+    H = problem.trajectories[0].generator
+    H_opt = substitute(
+        H, list(zip(get_controls(H), res.optimized_controls))
+    )
+    tlist = problem.tlist
+    dyn = propagate([1, 0], H_opt, tlist, storage=True)
+    want = np.abs(dyn[:, 1]) ** 2
+    got = np.real(vals[0][:, 0])
+    # the last callback fired for the final accepted iterate
+    np.testing.assert_allclose(got, want, atol=1e-9)
+    assert abs(got[-1] - (1.0 - res.J_T)) < 1e-6
+
+    # default observables: the stored states themselves
+    calls2 = []
+    optimize_problem(
+        problem, fw_prop_callback=lambda v, t: calls2.append(v),
+        iter_stop=1, print_iters=False, rethrow_exceptions=True,
+    )
+    assert calls2[-1][0].shape == (101, 1, 2)  # (N_T+1, K, d)
+
+    # recompute storage cannot serve per-step observables
+    import pytest
+
+    with pytest.raises(ValueError, match="storage_mode"):
+        optimize_problem(
+            problem, fw_prop_callback=cb, storage_mode="recompute",
+            rethrow_exceptions=True,
+        )
