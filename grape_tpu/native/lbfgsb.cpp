@@ -319,6 +319,13 @@ struct LbfgsbState {
     std::string msg = "START";
     double sbgnrm = 0;
 
+    // trace counters (annotated iprint>=100 dump, the reference's
+    // isave/dsave analog, ext/GRAPELBFGSBExt.jl:150-192)
+    int cauchy_intervals = 0;        // intervals explored, current iter
+    long cauchy_intervals_total = 0; // ... accumulated over the run
+    int skipped_updates = 0;         // rejected weak-curvature BFGS pairs
+    int n_free = 0;                  // free variables at the Cauchy point
+
     int c2() const { return 2 * ncorr; }
 
     // W row i as a 2c vector: [Y_0[i].. Y_{c-1}[i], theta*S_0[i]..]
@@ -451,6 +458,8 @@ struct LbfgsbState {
             if (f1 >= 0.0) { dtm = 0.0; break; }
         }
         dtm = std::max(dtm, 0.0);
+        cauchy_intervals = static_cast<int>(k) + 1;
+        cauchy_intervals_total += cauchy_intervals;
         const double t_final = t_old + dtm;
         for (int i = 0; i < n; ++i)
             if (t[i] >= t_final && d[i] != 0.0) xcp[i] = x[i] + t_final * d[i];
@@ -472,6 +481,7 @@ struct LbfgsbState {
             if (!at_lower && !at_upper) free.push_back(i);
         }
         const int nf = (int)free.size();
+        n_free = nf;
         // search direction starts as xcp - x
         for (int i = 0; i < n; ++i) d[i] = xcp[i] - x[i];
         if (nf == 0) return;
@@ -783,6 +793,8 @@ int lbfgsb_step(LbfgsbState* st, double* x, double f, const double* g,
                 st->ncorr = 0;
                 st->theta = 1.0;
             }
+        } else {
+            ++st->skipped_updates;
         }
         // next iteration
         st->ls_retried = false;
@@ -813,6 +825,31 @@ void lbfgsb_search_direction(LbfgsbState* st, double* out) {
 }
 
 int lbfgsb_n_iter(LbfgsbState* st) { return st->iter; }
+
+// Annotated trace info (the reference's isave/dsave dump analog,
+// ext/GRAPELBFGSBExt.jl:150-192).  Fills `out` (13 doubles):
+// [0] iter                    [7] |proj g|_inf (sbgnrm)
+// [1] ncorr (stored pairs)    [8] line-search f/g evals this iter
+// [2] theta (B0 scale)        [9] free variables at the Cauchy point
+// [3] f at iteration start    [10] active bound constraints
+// [4] |d|_2 search direction  [11] Cauchy intervals, current iter
+// [5] step length (relative)  [12] Cauchy intervals, total
+// [6] skipped BFGS updates
+void lbfgsb_trace_info(LbfgsbState* st, double* out) {
+    out[0] = st->iter;
+    out[1] = st->ncorr;
+    out[2] = st->theta;
+    out[3] = st->f_start;
+    out[4] = st->dnorm;
+    out[5] = st->stp;
+    out[6] = st->skipped_updates;
+    out[7] = st->sbgnrm;
+    out[8] = st->ls_evals;
+    out[9] = st->n_free;
+    out[10] = st->n - st->n_free;
+    out[11] = st->cauchy_intervals;
+    out[12] = st->cauchy_intervals_total;
+}
 
 double lbfgsb_projgrad_norm(LbfgsbState* st) { return st->sbgnrm; }
 

@@ -72,6 +72,10 @@ def _load():
     lib.lbfgsb_n_iter.argtypes = [ctypes.c_void_p]
     lib.lbfgsb_projgrad_norm.restype = ctypes.c_double
     lib.lbfgsb_projgrad_norm.argtypes = [ctypes.c_void_p]
+    lib.lbfgsb_trace_info.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+    ]
     _LIB = lib
     return lib
 
@@ -167,12 +171,45 @@ class LBFGSB:
 
     @staticmethod
     def _print_trace(lib, st, wrk, msg):
-        """Verbose per-iteration optimizer trace
-        (``lbfgsb_iprint=100`` analog, ext/GRAPELBFGSBExt.jl:150-192)."""
-        print(
-            f"LBFGSB> iter={lib.lbfgsb_n_iter(st)} "
-            f"task={msg} "
-            f"step_width={lib.lbfgsb_step_width(st):.6g} "
-            f"|proj g|={lib.lbfgsb_projgrad_norm(st):.6g} "
-            f"f={wrk.result.J_T + wrk.J_parts[1] + wrk.J_parts[2]:.10g}"
+        """Verbose per-iteration optimizer trace with annotated internals
+        (``lbfgsb_iprint=100`` analog: the reference dumps the Fortran
+        isave/dsave arrays with their meanings,
+        ext/GRAPELBFGSBExt.jl:150-192; here the equivalent quantities of
+        the C++ solver state)."""
+        info = np.zeros(13)
+        lib.lbfgsb_trace_info(st, info)
+        n = wrk.n
+        f = wrk.result.J_T + wrk.J_parts[1] + wrk.J_parts[2]
+        constrained = bool(
+            np.any(np.isfinite(wrk.lower_bounds))
+            or np.any(np.isfinite(wrk.upper_bounds))
         )
+        print(f"- end of task loop: FG -> {msg}")
+        rows = [
+            ("iter", int(info[0]), "number of the current iteration"),
+            ("constrained", constrained, "problem is constrained?"),
+            ("ncorr", int(info[1]),
+             "limited-memory (s, y) pairs currently stored"),
+            ("theta", info[2], "current θ scaling of the B₀ matrix"),
+            ("f_prev", info[3], "f(x) at the start of the iteration"),
+            ("f", f, "f(x) at the accepted iterate"),
+            ("|d|₂", info[4], "2-norm of the line-search direction vector"),
+            ("step", info[5], "relative step length in the line search"),
+            ("|proj g|∞", info[7],
+             "infinity norm of the projected gradient"),
+            ("ls_evals", int(info[8]),
+             "function/gradient evaluations in the line search"),
+            ("n_free", int(info[9]),
+             f"free variables at the Cauchy point (of n={n})"),
+            ("n_active", int(info[10]),
+             "variables at active bound constraints"),
+            ("cauchy_intervals", int(info[11]),
+             "intervals explored in the Cauchy-point search (this iter)"),
+            ("cauchy_total", int(info[12]),
+             "... accumulated over the run"),
+            ("skipped_updates", int(info[6]),
+             "weak-curvature BFGS updates rejected so far"),
+        ]
+        for key, val, meaning in rows:
+            sval = f"{val:.6g}" if isinstance(val, float) else str(val)
+            print(f"   {key:<17} = {sval:<14}\t {meaning}")

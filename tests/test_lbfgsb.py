@@ -221,6 +221,10 @@ def test_lbfgsb_trace_output(capsys):
         rethrow_exceptions=True, print_iters=False,
     )
     out = capsys.readouterr().out
-    assert "LBFGSB>" in out
-    assert "step_width=" in out
-    assert "|proj g|=" in out
+    # annotated internals dump (the reference's isave/dsave analog)
+    assert "end of task loop: FG -> NEW_X" in out
+    assert "number of the current iteration" in out
+    assert "relative step length in the line search" in out
+    assert "infinity norm of the projected gradient" in out
+    assert "free variables at the Cauchy point" in out
+    assert "limited-memory (s, y) pairs currently stored" in out
