@@ -1,21 +1,32 @@
 """GRAPE benchmark — prints ONE JSON line.
 
 Headline metric (BASELINE.json): propagation steps/s/chip for the fused
-function-and-gradient evaluation (forward expm scan + backward
-Fréchet-gradient scan) on the two-transmon CZ configuration (dim=100,
-4 trajectories, 4 drive controls).  ``vs_baseline`` is the speedup of the
-accelerator (TPU, complex64) over the same program on one CPU host in
-float64 — a proxy for the reference, which is a CPU/Float64 code with no
-published numbers (BASELINE.md).
+function-and-gradient evaluation (forward expm scan + backward gradient
+scan) on the two-transmon CZ configuration (dim=100, 4 trajectories,
+4 drive controls).  ``vs_baseline`` is the speedup of the accelerator
+(TPU, complex64) over the same program on one CPU host in float64 — a
+proxy for the reference, which is a CPU/Float64 code with no published
+numbers (BASELINE.md).
+
+The ``sweep`` field carries the BASELINE dim sweep (2 → 1024; Chebyshev
+propagation where a dense expm per step stops making sense) with
+per-config achieved FLOP/s and MFU so the performance claims are
+auditable.  FLOP counts are XLA's own ``cost_analysis()`` estimate of the
+compiled program; MFU is quoted against the chip's bf16 matmul peak
+(197 TFLOP/s for TPU v5e) even though the program runs f32
+highest-precision passes — a deliberately conservative convention.
 
 Platform notes (axon TPU): async dispatch cannot be trusted before the
 first host sync, so every timed evaluation is synced by transferring the
-scalar J to host; the first execution of a program pays a large server-side
-compile/queue cost, which is excluded via a warmup evaluation.
+scalar J to host; the first execution of a program pays a large
+server-side compile/queue cost, which is excluded via a warmup
+evaluation.  The sweep stops early (entries marked ``skipped``) if the
+wall-clock budget runs out, so the headline number always lands.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -36,20 +47,42 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 N_STEPS = 800
 K_TRAJ = 4
+# The sweep runs each config in a KILLABLE subprocess: on the axon TPU the
+# first execution of every new program pays a 100-530 s server-side queue
+# cost, so an unbounded sweep could blow the driver's bench timeout — the
+# headline number must always land.
+SWEEP_BUDGET_S = float(os.environ.get("GRAPE_BENCH_SWEEP_BUDGET", "600"))
+SWEEP_CONFIG_TIMEOUT_S = float(
+    os.environ.get("GRAPE_BENCH_CONFIG_TIMEOUT", "420")
+)
+
+_PEAK_FLOPS = {
+    # bf16 matmul peak per chip
+    "tpu v5 lite": 197e12,
+    "tpu v5e": 197e12,
+    "tpu v4": 275e12,
+}
 
 
-def _build(n_steps, dtype):
+def _peak_flops(device):
+    kind = getattr(device, "device_kind", "").lower()
+    for key, val in _PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return None
+
+
+def _build_cz(n_steps, dtype, gradient_method="taylor"):
     from grape_tpu.fg import build_fg, compile_problem
     from grape_tpu.models import two_transmon_cz_problem
 
     problem = two_transmon_cz_problem(d=10, n_steps=n_steps, T=50.0)
     cp = compile_problem(
         problem.trajectories, problem.tlist, dtype=dtype,
-        gradient_method="taylor",  # matvec gradient: the right choice at
-                                   # dim=100 (3.6x faster than gradgen here)
+        gradient_method=gradient_method,
         **problem.kwargs
     )
-    return build_fg(cp), cp.guess_pulsevals.reshape(-1)
+    return build_fg(cp), cp
 
 
 def _time_fg(fg, x, n_iter):
@@ -66,26 +99,137 @@ def _time_fg(fg, x, n_iter):
     return dt
 
 
-def main():
-    import jax
+def _flops_estimate(fg, x):
+    """XLA's own FLOP estimate for one compiled fg evaluation."""
+    try:
+        cost = fg.lower(x).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
 
+
+def _sweep_configs():
+    """BASELINE dim sweep 2 -> 1024 (Chebyshev where expm doesn't fit)."""
+    from grape_tpu.fg import build_fg, compile_problem
+    from grape_tpu.functionals import J_T_sm
+    from grape_tpu.models import tls_problem, two_transmon_cz_problem
+
+    def cz(d, n_steps, method, prop):
+        problem = two_transmon_cz_problem(d=d, n_steps=n_steps, T=50.0)
+        kw = dict(problem.kwargs)
+        if prop != "expprop":
+            kw["prop_method"] = prop
+        cp = compile_problem(
+            problem.trajectories, problem.tlist, dtype=np.complex64,
+            gradient_method=method, **kw
+        )
+        return build_fg(cp), cp
+
+    def tls(n_steps, method):
+        problem = tls_problem(n_steps=n_steps)
+        cp = compile_problem(
+            problem.trajectories, problem.tlist, dtype=np.complex64,
+            gradient_method=method, J_T=J_T_sm, **problem.kwargs
+        )
+        return build_fg(cp), cp
+
+    return [
+        ("dim2_tls_taylor", lambda: tls(800, "taylor"), 800, 1),
+        ("dim16_cz_taylor", lambda: cz(4, 400, "taylor", "expprop"),
+         400, 4),
+        ("dim100_cz_gradgen", lambda: cz(10, 800, "gradgen", "expprop"),
+         800, 4),
+        ("dim256_cz_cheby_taylor", lambda: cz(16, 200, "taylor", "cheby"),
+         200, 4),
+        ("dim1024_cz_cheby_taylor", lambda: cz(32, 100, "taylor", "cheby"),
+         100, 4),
+    ]
+
+
+def _run_one_sweep_config(name):
+    """Subprocess entry: run one sweep config, print its JSON entry."""
+    peak = _peak_flops(jax.devices()[0])
+    for cfg_name, build, n_steps, k_traj in _sweep_configs():
+        if cfg_name != name:
+            continue
+        fg_s, cp_s = build()
+        x_s = cp_s.guess_pulsevals.reshape(-1)
+        dt_s = _time_fg(fg_s, x_s, n_iter=3)
+        flops = _flops_estimate(fg_s, x_s)
+        entry = {
+            "config": name,
+            "dim": cp_s.dim,
+            "n_steps": n_steps,
+            "ms_per_eval": round(dt_s * 1000, 2),
+            "traj_steps_per_s": round(n_steps * k_traj / dt_s, 1),
+        }
+        if flops:
+            entry["flops_per_eval"] = flops
+            entry["flops_per_s"] = round(flops / dt_s, 1)
+            if peak:
+                entry["mfu_vs_bf16_peak"] = round(flops / dt_s / peak, 4)
+        print("SWEEP_ENTRY " + json.dumps(entry))
+        return
+    raise SystemExit(f"unknown sweep config {name}")
+
+
+def _run_sweep():
+    """Run the sweep configs in killable subprocesses under a budget."""
+    sweep = []
+    t0 = time.perf_counter()
+    for name, _build, _n, _k in _sweep_configs():
+        if time.perf_counter() - t0 > SWEEP_BUDGET_S:
+            sweep.append({"config": name, "skipped": "budget"})
+            continue
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True, text=True,
+                timeout=SWEEP_CONFIG_TIMEOUT_S,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            entry = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("SWEEP_ENTRY "):
+                    entry = json.loads(line[len("SWEEP_ENTRY "):])
+            if entry is None:
+                tail = (proc.stderr or proc.stdout or "").strip()[-120:]
+                entry = {"config": name, "skipped": f"rc={proc.returncode}: {tail}"}
+            sweep.append(entry)
+        except subprocess.TimeoutExpired:
+            sweep.append({"config": name, "skipped": "config timeout"})
+        except Exception as exc:
+            sweep.append({"config": name, "skipped": f"{exc}"[:120]})
+    return sweep
+
+
+def main():
     platform = jax.devices()[0].platform
-    fg, x = _build(N_STEPS, dtype=np.complex64)
+    peak = _peak_flops(jax.devices()[0])
+
+    # ---- headline: CZ dim=100 taylor fg ---------------------------------
+    fg, cp = _build_cz(N_STEPS, dtype=np.complex64)
+    x = cp.guess_pulsevals.reshape(-1)
     dt_accel = _time_fg(fg, x, n_iter=5)
     steps_per_s = N_STEPS * K_TRAJ / dt_accel
+    headline_flops = _flops_estimate(fg, x)
 
-    # CPU float64 reference proxy (scaled config; per-step cost is
-    # N_T-independent, so steps/s extrapolates)
+    # ---- CPU float64 reference proxy ------------------------------------
     cpu = jax.devices("cpu")[0]
     n_cpu = 25
     jax.config.update("jax_enable_x64", True)  # true f64 on the CPU side
     with jax.default_device(cpu):
-        fg_c, x_c = _build(n_cpu, dtype=np.complex128)
-        dt_cpu = _time_fg(fg_c, x_c, n_iter=2)
+        fg_c, cp_c = _build_cz(n_cpu, dtype=np.complex128)
+        dt_cpu = _time_fg(fg_c, cp_c.guess_pulsevals.reshape(-1), n_iter=2)
     cpu_steps_per_s = n_cpu * K_TRAJ / dt_cpu
     vs_baseline = steps_per_s / cpu_steps_per_s
 
-    print(json.dumps({
+    # ---- dim sweep (killable subprocesses, hard budget) ------------------
+    sweep = _run_sweep()
+
+    out = {
         "metric": (
             "two-transmon CZ dim=100 fused fg (expm+taylor-grad) "
             f"propagation throughput on {platform}"
@@ -93,8 +237,17 @@ def main():
         "value": round(steps_per_s, 1),
         "unit": "traj-steps/s",
         "vs_baseline": round(vs_baseline, 2),
-    }))
+        "sweep": sweep,
+    }
+    if headline_flops and peak:
+        out["headline_mfu_vs_bf16_peak"] = round(
+            headline_flops / dt_accel / peak, 4
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+        _run_one_sweep_config(sys.argv[2])
+    else:
+        main()

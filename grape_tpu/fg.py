@@ -102,6 +102,9 @@ class CompiledProblem:
     # evaluated inside the jitted program over the stored states
     fw_prop_callback: Callable = None
     fw_prop_observables: tuple = ()
+    # all trajectories evolve under the SAME generator (gate optimization:
+    # K basis states, one H) — U_n is computed once per step, not per k
+    shared_generator: bool = False
     # host-side operator norms cached at compile time (so envelope math
     # never needs device->host transfers once the arrays are sharded):
     # {"h0": ||H0||_1 max over k, "ops": (T,) per-term ||Op_j||_1 max over k}
@@ -195,6 +198,11 @@ def compile_problem(
         ).astype(cdtype)  # (K, T, d, d)
     else:
         ops = np.zeros((K, 0, dim, dim), dtype=cdtype)
+    # gate-optimization detection: one generator, K basis states — then
+    # U_n is shared across trajectories and the propagator work drops K-fold
+    shared_generator = all(g is generators[0] for g in generators) or (
+        bool(np.all(H0 == H0[:1])) and bool(np.all(ops == ops[:1]))
+    )
 
     # Coefficient tensor M (N_T, T, L): term j couples to control l_j with
     # per-interval weight shape_j[n].  Locked terms (no control) contribute
@@ -297,6 +305,7 @@ def compile_problem(
             fw_prop_callback, storage_mode
         ),
         fw_prop_observables=tuple(fw_prop_observables or ()),
+        shared_generator=shared_generator,
         norm_cache=_make_norm_cache(
             H0, ops,
             with_spectral="cheby" in (
@@ -556,25 +565,34 @@ def _make_fwd_step(cp: CompiledProblem, pds, eps, with_U=False):
     if with_U and pd is not None:
         raise ValueError("with_U requires the ExpProp forward propagator")
 
+    shared = cp.shared_generator
+
     def step(psi, n):
         coeffs = (M_[n] @ eps[:, n] + Mfix_[n]).astype(cdtype)
-        H = H0_ + jnp.einsum("t,ktij->kij", coeffs, ops_)
+        if shared:
+            # one generator for all K trajectories (gate optimization):
+            # one expm per step, applied to the (K, d) state block
+            H = H0_[0] + jnp.einsum("t,tij->ij", coeffs, ops_[0])
+            mv = "ij,kj->ki"
+        else:
+            H = H0_ + jnp.einsum("t,ktij->kij", coeffs, ops_)
+            mv = "kij,kj->ki"
         if pd is None:
             U = expm((-1j * dt[n].astype(cdtype)) * H)
-            psi_new = jnp.einsum("kij,kj->ki", U, psi)
+            psi_new = jnp.einsum(mv, U, psi)
             if with_U:
                 return psi_new, U
             return psi_new
         if pd["kind"] == "newton":
             a = (-1j * dt[n]).astype(cdtype)
             return arnoldi_expmv(
-                lambda v: a * jnp.einsum("kij,kj->ki", H, v),
+                lambda v: a * jnp.einsum(mv, H, v),
                 psi, m=pd["m"], substeps=pd["substeps"],
             )
         d = cp.dim
         Hn = (2.0 * H - pd["shift"] * jnp.eye(d, dtype=cdtype)) / pd["dE"]
         return cheby_apply(
-            lambda v: jnp.einsum("kij,kj->ki", Hn, v),
+            lambda v: jnp.einsum(mv, Hn, v),
             psi, jnp.asarray(pd["tab_fw"])[n], jnp.asarray(pd["ph_fw"])[n],
         )
 
@@ -613,8 +631,12 @@ def _make_bw_step(cp: CompiledProblem, pds, eps, rho, safe_rho):
             )
             if U_n is not None:
                 # exact adjoint of the stored forward propagator:
-                # expm(+i dt H†) ≡ U_n†  (one matvec instead of an expm)
-                chi_new = jnp.einsum("kji,kj->ki", jnp.conj(U_n), chi)
+                # expm(+i dt H†) ≡ U_n†  (one matvec instead of an expm);
+                # U_n is (d, d) for a shared generator, (K, d, d) otherwise
+                if U_n.ndim == 2:
+                    chi_new = jnp.einsum("ji,kj->ki", jnp.conj(U_n), chi)
+                else:
+                    chi_new = jnp.einsum("kji,kj->ki", jnp.conj(U_n), chi)
             elif pd_bw is None:
                 U = expm((-1j * ndt) * Hd)
                 chi_new = jnp.einsum("kij,kj->ki", U, chi)
@@ -716,8 +738,15 @@ def _forward(cp: CompiledProblem, pulsevals, pds=None, with_U=False):
 
     Returns ``storage (N_T+1, K, d)`` — the reference's per-trajectory
     ``fw_storage`` (``src/workspace.jl:215``, ``src/optimize.jl:731-738``) —
-    plus, with ``with_U``, the per-step propagators ``U (N_T, K, d, d)``
-    for backward reuse.
+    plus, with ``with_U``, the per-step propagators for backward reuse
+    (``(N_T, d, d)`` for a shared generator, ``(N_T, K, d, d)`` otherwise).
+
+    NOTE (measured): computing all shared-generator U_n as one
+    time-batched expm before the scan LOSES to the scan-fused per-step
+    expm on the CZ benchmark (60.7 vs 54.5 ms/eval) — the batched variant
+    round-trips the (N_T, d, d) U stream through HBM between every
+    approximant matmul, while the scan keeps each step's intermediates
+    local; so the per-step form below is deliberate.
     """
     psi0_ = jnp.asarray(cp.psi0)
     eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps)).astype(
@@ -788,6 +817,11 @@ def _pallas_forward_enabled(cp: CompiledProblem, pds):
     is ~1.7x faster, so "auto" gates on d >= 32)."""
     pd_fw = pds["fw"] if isinstance(pds, dict) and "fw" in pds else pds
     if cp.use_pallas is False or pd_fw is not None:
+        return False
+    if cp.shared_generator and cp.use_pallas == "auto":
+        # one generator for all trajectories: the XLA path computes ONE
+        # expm per step (the per-(k, n) Pallas kernel would do K) — the
+        # shared XLA forward wins
         return False
     if cp.use_pallas == "auto" and cp.dim < 32:
         return False
@@ -896,19 +930,22 @@ def _reuse_U_enabled(cp: CompiledProblem, pds):
         n_stored = cp.n_timesteps
         if cp.storage_mode == "recompute" and cp.storage_segments:
             n_stored = cp.n_timesteps // cp.storage_segments  # per segment
+        k_u = 1 if cp.shared_generator else cp.n_traj
         nbytes = (
-            n_stored * cp.n_traj * cp.dim * cp.dim
+            n_stored * k_u * cp.dim * cp.dim
             * np.dtype(cp.psi0.dtype).itemsize
         )
         if nbytes > 4 * 1024**3:
             return False
-        # On TPU, collecting U from the XLA forward scan measured SLOWER
-        # than recomputing the expm in the backward pass (173 vs 125 ms on
-        # the CZ benchmark) — the win comes from the Pallas forward kernel
-        # streaming U out; elsewhere (CPU) the XLA collection is fine.
+        # On TPU, collecting per-trajectory U from the XLA forward scan
+        # measured SLOWER than recomputing the expm in the backward pass
+        # (173 vs 125 ms on the CZ benchmark) — there, the win comes from
+        # the Pallas forward kernel streaming U out.  With a SHARED
+        # generator the U stream is K× smaller and the expm is computed
+        # once per step anyway, so XLA collection is the right path.
         import jax as _jax
 
-        if _jax.devices()[0].platform == "tpu":
+        if _jax.devices()[0].platform == "tpu" and not cp.shared_generator:
             return _pallas_forward_enabled(cp, pds)
         return True
     return bool(cp.reuse_propagators)
@@ -967,9 +1004,14 @@ def _chi_trajectory(cp: CompiledProblem, storage, Us, chi_hat, safe_rho):
     if cp.xi is not None:
         w = _grid_weights(tlist_j)
 
+    shared_U = Us.ndim == 3  # (N_T, d, d): one U_n for all trajectories
+
     def chi_body(chi, n):
         chi_in = chi  # χ(t_{n+1}) — what step n's recursion consumes
-        chi_new = jnp.einsum("kji,kj->ki", jnp.conj(Us[n]), chi)
+        if shared_U:
+            chi_new = jnp.einsum("ji,kj->ki", jnp.conj(Us[n]), chi)
+        else:
+            chi_new = jnp.einsum("kji,kj->ki", jnp.conj(Us[n]), chi)
         if cp.xi is not None:
             xi_n = cp.xi(storage[n], cp.trajectories, tlist_j, n)
             inhom = (
@@ -994,8 +1036,9 @@ def _vec_gradgen_enabled(cp: CompiledProblem, pds):
         pd = pds[key] if isinstance(pds, dict) and key in pds else pds
         if pd is not None:
             return False
+    k_u = 1 if cp.shared_generator else cp.n_traj
     nbytes = (
-        cp.n_timesteps * cp.n_traj * cp.dim * cp.dim
+        cp.n_timesteps * k_u * cp.dim * cp.dim
         * np.dtype(cp.psi0.dtype).itemsize
     )
     return nbytes <= 4 * 1024**3
@@ -1067,19 +1110,30 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, pulsevals, storage,
     n_sq = _pallas_squarings(cp, amp_max)
 
     def chunk_body(_, ns):
-        Hc = H0_[None] + jnp.einsum(
-            "ct,ktij->ckij", coeffs_all[ns], ops_
-        )  # (C, K, d, d)
         a = (-1j * dt[ns]).astype(cdtype)  # (C,)
-        Af = a[:, None, None, None] * Hc
         # rank-1 direction R[b, a] = ψ_b(t_n) conj(χ_a(t_{n+1}))
         R = jnp.einsum(
             "ckb,cka->ckba", storage[ns], jnp.conj(chis[ns])
         )
-        _E, G = expm_frechet(Af, R, squarings=n_sq)  # G = L(A_n, R_n)
+        if cp.shared_generator:
+            # one generator: ONE expm base per step shared by all K
+            # trajectories — the K rank-1 directions ride the Fréchet
+            # direction axis of expm_frechet
+            Hc = H0_[0][None] + jnp.einsum(
+                "ct,tij->cij", coeffs_all[ns], ops_[0]
+            )  # (C, d, d)
+            Af = a[:, None, None] * Hc
+            _E, G = expm_frechet(Af, R, squarings=n_sq)  # (C, K, d, d)
+            trj = jnp.einsum("tab,ckba->ckt", ops_[0], G)
+        else:
+            Hc = H0_[None] + jnp.einsum(
+                "ct,ktij->ckij", coeffs_all[ns], ops_
+            )  # (C, K, d, d)
+            Af = a[:, None, None, None] * Hc
+            _E, G = expm_frechet(Af, R, squarings=n_sq)  # G = L(A_n, R_n)
+            trj = jnp.einsum("ktab,ckba->ckt", ops_, G)
         # tr(Op_j G) then contract the coefficient table:
         # ∇τ_{nl} = ρ (-i dt_n) Σ_j M[n,j,l] tr(Op_j G_n)
-        trj = jnp.einsum("ktab,ckba->ckt", ops_, G)
         grads_c = a[:, None, None] * jnp.einsum(
             "ctl,ckt->ckl", Mc[ns], trj
         )
@@ -1127,22 +1181,38 @@ def _backward_vectorized(cp: CompiledProblem, pulsevals, storage, Us,
     coeffs_all = (
         jnp.einsum("ntl,ln->nt", M_, eps) + Mfix_
     ).astype(cdtype)  # (N_T, T)
-    Hs = H0_[None] + jnp.einsum("nt,ktij->nkij", coeffs_all, ops_)
     # Scaled recursion (see taylor_grad_step): iterate with H†/h so the
     # iterates stay O(1) — unscaled, Φ_m ~ ‖H‖^m overflows f32 while the
     # coefficient underflows, and TPU flush-to-zero then silently
     # truncates the series.
     h = max(_h_norm_bound(cp), 1e-30)
     inv_h = np.dtype(cdtype).type(1.0 / h)
-    Hds = jnp.conj(jnp.swapaxes(Hs, -1, -2)) * inv_h  # (N_T,K,d,d) / h
-    opsd = jnp.conj(jnp.swapaxes(ops_, -1, -2))  # (K, T, d, d)
     Mc = M_.astype(cdtype)
+    if cp.shared_generator:
+        # one generator: the H-side tensors drop the K axis entirely
+        Hs = H0_[0][None] + jnp.einsum("nt,tij->nij", coeffs_all, ops_[0])
+        Hds = jnp.conj(jnp.swapaxes(Hs, -1, -2)) * inv_h  # (N_T, d, d)/h
+        opsd = jnp.conj(jnp.swapaxes(ops_[0], -1, -2))  # (T, d, d)
 
-    def mu_apply(v):
-        """μ† @ v for all (n, k, l) without materializing μ:
-        μ_nl† = Σ_j M[n,j,l]·Op_j†."""
-        u = jnp.einsum("ktij,nkj->nkti", opsd, v)
-        return jnp.einsum("ntl,nkti->nkli", Mc, u)
+        def mu_apply(v):
+            u = jnp.einsum("tij,nkj->nkti", opsd, v)
+            return jnp.einsum("ntl,nkti->nkli", Mc, u)
+
+        def h_apply(Z):  # H†/h @ Z over the stacked (k, m) axes
+            return jnp.einsum("nij,nkmj->nkmi", Hds, Z)
+    else:
+        Hs = H0_[None] + jnp.einsum("nt,ktij->nkij", coeffs_all, ops_)
+        Hds = jnp.conj(jnp.swapaxes(Hs, -1, -2)) * inv_h  # (N_T,K,d,d)/h
+        opsd = jnp.conj(jnp.swapaxes(ops_, -1, -2))  # (K, T, d, d)
+
+        def mu_apply(v):
+            """μ† @ v for all (n, k, l) without materializing μ:
+            μ_nl† = Σ_j M[n,j,l]·Op_j†."""
+            u = jnp.einsum("ktij,nkj->nkti", opsd, v)
+            return jnp.einsum("ntl,nkti->nkli", Mc, u)
+
+        def h_apply(Z):
+            return jnp.einsum("nkij,nkmj->nkmi", Hds, Z)
 
     cdt = (1j * dt * h).astype(cdtype)  # = -i·(-dt_n)·h, per step (N_T,)
     Hm = chis  # (H†/h)^{m-1} χ  (m=1)
@@ -1163,7 +1233,7 @@ def _backward_vectorized(cp: CompiledProblem, pulsevals, storage, Us,
         # one fused H†@[φ | H̃m] einsum per order: H̃ds (the big operand)
         # is read once instead of twice per order (HBM-bandwidth bound)
         Z = jnp.concatenate([phi, Hm[:, :, None, :]], axis=2)
-        Z = jnp.einsum("nkij,nkmj->nkmi", Hds, Z)
+        Z = h_apply(Z)
         Hm = Z[:, :, -1, :]
         phi = mu_apply(Hm) + Z[:, :, :-1, :]
         coeff = coeff * cdt / m
