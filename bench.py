@@ -51,9 +51,9 @@ K_TRAJ = 4
 # first execution of every new program pays a 100-530 s server-side queue
 # cost, so an unbounded sweep could blow the driver's bench timeout — the
 # headline number must always land.
-SWEEP_BUDGET_S = float(os.environ.get("GRAPE_BENCH_SWEEP_BUDGET", "600"))
+SWEEP_BUDGET_S = float(os.environ.get("GRAPE_BENCH_SWEEP_BUDGET", "420"))
 SWEEP_CONFIG_TIMEOUT_S = float(
-    os.environ.get("GRAPE_BENCH_CONFIG_TIMEOUT", "420")
+    os.environ.get("GRAPE_BENCH_CONFIG_TIMEOUT", "300")
 )
 
 _PEAK_FLOPS = {
@@ -116,8 +116,10 @@ def _sweep_configs():
     from grape_tpu.functionals import J_T_sm
     from grape_tpu.models import tls_problem, two_transmon_cz_problem
 
-    def cz(d, n_steps, method, prop):
-        problem = two_transmon_cz_problem(d=d, n_steps=n_steps, T=50.0)
+    def cz(d, n_steps, method, prop, T=50.0):
+        # T shrinks with d: the transmon anharmonicity term grows ~d², so
+        # dt·||H|| must stay in the propagator's convergent regime
+        problem = two_transmon_cz_problem(d=d, n_steps=n_steps, T=T)
         kw = dict(problem.kwargs)
         if prop != "expprop":
             kw["prop_method"] = prop
@@ -141,10 +143,10 @@ def _sweep_configs():
          400, 4),
         ("dim100_cz_gradgen", lambda: cz(10, 800, "gradgen", "expprop"),
          800, 4),
-        ("dim256_cz_cheby_taylor", lambda: cz(16, 200, "taylor", "cheby"),
-         200, 4),
-        ("dim1024_cz_cheby_taylor", lambda: cz(32, 100, "taylor", "cheby"),
-         100, 4),
+        ("dim256_cz_cheby_taylor",
+         lambda: cz(16, 200, "taylor", "cheby", T=5.0), 200, 4),
+        ("dim1024_cz_cheby_taylor",
+         lambda: cz(32, 100, "taylor", "cheby", T=1.0), 100, 4),
     ]
 
 

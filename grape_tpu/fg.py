@@ -1025,6 +1025,68 @@ def _chi_trajectory(cp: CompiledProblem, storage, Us, chi_hat, safe_rho):
     return chis_rev[::-1]  # (N_T, K, d): χ(t_{n+1}) for each step n
 
 
+def _chi_prop_scan(cp: CompiledProblem, pds, eps, storage, chi_hat,
+                   safe_rho):
+    """Phase A without stored propagators: the normalized co-state
+    trajectory via per-step backward propagation (adjoint ExpProp /
+    Chebyshev / Krylov — the reference's ``bw_prop`` loop,
+    ``src/optimize.jl:920-922``) plus the ξ inhomogeneity injection.
+    One matvec-series per step — cheap and sequential; the expensive
+    gradient work then runs time-vectorized on the result.
+    Returns ``chis (N_T, K, d)`` with ``chis[n] = χ(t_{n+1})``."""
+    pd_bw = pds["bw"] if isinstance(pds, dict) and "bw" in pds else pds
+    cdtype = cp.psi0.dtype
+    tlist_j = jnp.asarray(cp.tlist)
+    dt = jnp.diff(tlist_j)
+    M_ = jnp.asarray(cp.M)
+    H0_ = jnp.asarray(cp.H0)
+    ops_ = jnp.asarray(cp.ops)
+    Mfix_ = jnp.asarray(cp.Mfix)
+    shared = cp.shared_generator
+    mv = "ij,kj->ki" if shared else "kij,kj->ki"
+    if cp.xi is not None:
+        w = _grid_weights(tlist_j)
+
+    def body(chi, n):
+        chi_in = chi  # χ(t_{n+1})
+        coeffs = (M_[n] @ eps[:, n] + Mfix_[n]).astype(cdtype)
+        if shared:
+            H = H0_[0] + jnp.einsum("t,tij->ij", coeffs, ops_[0])
+        else:
+            H = H0_ + jnp.einsum("t,ktij->kij", coeffs, ops_)
+        Hd = jnp.conj(jnp.swapaxes(H, -1, -2))
+        if pd_bw is None:
+            U = expm((1j * dt[n]).astype(cdtype) * Hd)
+            chi_new = jnp.einsum(mv, U, chi)
+        elif pd_bw["kind"] == "newton":
+            a = (1j * dt[n]).astype(cdtype)
+            chi_new = arnoldi_expmv(
+                lambda v: a * jnp.einsum(mv, Hd, v),
+                chi, m=pd_bw["m"], substeps=pd_bw["substeps"],
+            )
+        else:
+            d = cp.dim
+            Hn = (
+                2.0 * Hd - pd_bw["shift"] * jnp.eye(d, dtype=cdtype)
+            ) / pd_bw["dE"]
+            chi_new = cheby_apply(
+                lambda v: jnp.einsum(mv, Hn, v),
+                chi, jnp.asarray(pd_bw["tab_bw"])[n],
+                jnp.asarray(pd_bw["ph_bw"])[n],
+            )
+        if cp.xi is not None:
+            xi_n = cp.xi(storage[n], cp.trajectories, tlist_j, n)
+            inhom = (
+                cp.lambda_b * w[n] / safe_rho[:, None]
+            ).astype(cdtype) * xi_n
+            chi_new = jnp.where(n > 0, chi_new + inhom, chi_new)
+        return chi_new, chi_in
+
+    ns = jnp.arange(cp.n_timesteps - 1, -1, -1)
+    _, chis_rev = lax.scan(body, chi_hat, ns)
+    return chis_rev[::-1]
+
+
 def _vec_gradgen_enabled(cp: CompiledProblem, pds):
     """Time-vectorized gradgen backward: requires stored propagators
     (ExpProp forward/backward/grad, full storage) and bounded U-storage."""
@@ -1060,7 +1122,7 @@ def _gradgen_chunk(cp: CompiledProblem, n_intermediates=8,
 
 
 def _backward_vectorized_gradgen(cp: CompiledProblem, pulsevals, storage,
-                                 Us, chi_hat, rho, safe_rho, amp_max=None):
+                                 chis, rho, amp_max=None):
     """Time-vectorized gradgen backward pass (requires stored ``U_n``).
 
     The per-step gradient only needs the scalar
@@ -1093,8 +1155,6 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, pulsevals, storage,
     ops_ = jnp.asarray(cp.ops)
     H0_ = jnp.asarray(cp.H0)
     Mfix_ = jnp.asarray(cp.Mfix)
-
-    chis = _chi_trajectory(cp, storage, Us, chi_hat, safe_rho)
 
     coeffs_all = (
         jnp.einsum("ntl,ln->nt", M_, eps) + Mfix_
@@ -1144,21 +1204,20 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, pulsevals, storage,
     return rho[None, :, None].astype(cdtype) * grads
 
 
-def _backward_vectorized(cp: CompiledProblem, pulsevals, storage, Us,
-                         chi_hat, rho, safe_rho, amp_max=None):
-    """Time-vectorized backward gradient pass (requires stored ``U_n``).
+def _backward_vectorized(cp: CompiledProblem, pulsevals, storage, chis,
+                         rho, amp_max=None):
+    """Time-vectorized backward gradient pass (phase B).
 
     The reference's backward loop (``src/optimize.jl:913-994``) — and our
     scan counterpart — is sequential in time because the co-state χ carries
-    across steps.  But χ propagation with stored propagators is ONE matvec
-    per step (``χ ← U_n†χ``); everything expensive (the Taylor χ'-recursion
-    and the gradient dots) depends only on per-step data.  So:
-
-      phase A (sequential, cheap):  scan χ(t_n) for all n — one batched
-        matvec per step, plus the ξ inhomogeneity injection;
-      phase B (batched over the WHOLE time axis): one Taylor recursion on
-        ``(N_T, K, L, d)`` tensors — ~30 orders × a few large einsums
-        instead of N_T × ~100 small ops.  This is the shape the MXU wants.
+    across steps.  But the χ chain is ONE cheap propagation per step
+    (``chis``, from phase A: ``_chi_trajectory`` with stored propagators,
+    or ``_chi_prop_scan`` under cheby/newton); everything expensive (the
+    Taylor χ'-recursion and the gradient dots) depends only on per-step
+    data and runs here batched over the WHOLE time axis: one Taylor
+    recursion on ``(N_T, K, L, d)`` tensors — ~30 orders × a few large
+    einsums instead of N_T × ~100 small ops.  This is the shape the MXU
+    wants.
 
     Returns ``(tau_grads (N_T, K, L) [ρ-scaled], taylor_ok)``.
     """
@@ -1173,9 +1232,6 @@ def _backward_vectorized(cp: CompiledProblem, pulsevals, storage, Us,
     ops_ = jnp.asarray(cp.ops)
     H0_ = jnp.asarray(cp.H0)
     Mfix_ = jnp.asarray(cp.Mfix)
-
-    # ---- phase A: co-state trajectory -------------------------------
-    chis = _chi_trajectory(cp, storage, Us, chi_hat, safe_rho)
 
     # ---- phase B: batched Taylor recursion over all steps -----------
     coeffs_all = (
@@ -1436,14 +1492,25 @@ def build_fg(cp: CompiledProblem, amp_max=None):
         if not recompute and Us is not None and vec_gg:
             # stored propagators → time-vectorized gradgen (one rank-1
             # Fréchet per step serves all L directions)
+            chis = _chi_trajectory(cp, storage, Us, chi_hat, safe_rho)
             tau_grads = _backward_vectorized_gradgen(
-                cp, pulsevals, storage, Us, chi_hat, rho, safe_rho, amp_max
+                cp, pulsevals, storage, chis, rho, amp_max
             )
             taylor_ok_all = jnp.asarray(True)
-        elif not recompute and Us is not None and vec_bw:
-            # stored propagators → time-vectorized backward (phase A/B)
+        elif (
+            not recompute and cp.gradient_method == "taylor" and vec_bw
+        ):
+            # time-vectorized taylor backward: phase A via stored
+            # propagators when available, else a cheap per-step
+            # propagation scan (cheby/newton/expm adjoint)
+            if Us is not None:
+                chis = _chi_trajectory(cp, storage, Us, chi_hat, safe_rho)
+            else:
+                chis = _chi_prop_scan(
+                    cp, pd, eps, storage, chi_hat, safe_rho
+                )
             tau_grads, taylor_ok_all = _backward_vectorized(
-                cp, pulsevals, storage, Us, chi_hat, rho, safe_rho, amp_max
+                cp, pulsevals, storage, chis, rho, amp_max
             )
         elif not recompute:
             def bw_body(chi, n):
