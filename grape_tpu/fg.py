@@ -599,6 +599,36 @@ def _make_fwd_step(cp: CompiledProblem, pds, eps, with_U=False):
     return step
 
 
+def _apply_bw_prop(cp: CompiledProblem, pd_bw, Hd, chi, dt_n, n, U_n=None):
+    """One backward co-state propagation step ``χ ← exp(+i dt_n H†) χ``
+    via the chosen ``bw_prop`` method (adjoint ExpProp / Chebyshev /
+    Krylov), or — when the forward propagator ``U_n`` is stored — its
+    exact adjoint (one matvec).  ``Hd`` is the adjoint generator, shaped
+    ``(d, d)`` for a shared generator or ``(K, d, d)``; ``chi (K, d)``."""
+    cdtype = cp.psi0.dtype
+    if U_n is not None:
+        # expm(+i dt H†) ≡ U_n†; U_n is (d, d) for a shared generator
+        if U_n.ndim == 2:
+            return jnp.einsum("ji,kj->ki", jnp.conj(U_n), chi)
+        return jnp.einsum("kji,kj->ki", jnp.conj(U_n), chi)
+    mv = "ij,kj->ki" if Hd.ndim == 2 else "kij,kj->ki"
+    if pd_bw is None:
+        U = expm((1j * dt_n).astype(cdtype) * Hd)
+        return jnp.einsum(mv, U, chi)
+    if pd_bw["kind"] == "newton":
+        a = (1j * dt_n).astype(cdtype)
+        return arnoldi_expmv(
+            lambda v: a * jnp.einsum(mv, Hd, v),
+            chi, m=pd_bw["m"], substeps=pd_bw["substeps"],
+        )
+    d = cp.dim
+    Hn = (2.0 * Hd - pd_bw["shift"] * jnp.eye(d, dtype=cdtype)) / pd_bw["dE"]
+    return cheby_apply(
+        lambda v: jnp.einsum(mv, Hn, v),
+        chi, jnp.asarray(pd_bw["tab_bw"])[n], jnp.asarray(pd_bw["ph_bw"])[n],
+    )
+
+
 def _make_bw_step(cp: CompiledProblem, pds, eps, rho, safe_rho):
     """One backward gradient step as a traced closure:
     ``(chi, n, psi_at_tn) -> (chi_new, grad_n)``.
@@ -629,33 +659,7 @@ def _make_bw_step(cp: CompiledProblem, pds, eps, rho, safe_rho):
                 with_status=True,
                 scale=h_scale,
             )
-            if U_n is not None:
-                # exact adjoint of the stored forward propagator:
-                # expm(+i dt H†) ≡ U_n†  (one matvec instead of an expm);
-                # U_n is (d, d) for a shared generator, (K, d, d) otherwise
-                if U_n.ndim == 2:
-                    chi_new = jnp.einsum("ji,kj->ki", jnp.conj(U_n), chi)
-                else:
-                    chi_new = jnp.einsum("kji,kj->ki", jnp.conj(U_n), chi)
-            elif pd_bw is None:
-                U = expm((-1j * ndt) * Hd)
-                chi_new = jnp.einsum("kij,kj->ki", U, chi)
-            elif pd_bw["kind"] == "newton":
-                a = (-1j * ndt).astype(cdtype)
-                chi_new = arnoldi_expmv(
-                    lambda v: a * jnp.einsum("kij,kj->ki", Hd, v),
-                    chi, m=pd_bw["m"], substeps=pd_bw["substeps"],
-                )
-            else:
-                d = cp.dim
-                Hn = (
-                    2.0 * Hd - pd_bw["shift"] * jnp.eye(d, dtype=cdtype)
-                ) / pd_bw["dE"]
-                chi_new = cheby_apply(
-                    lambda v: jnp.einsum("kij,kj->ki", Hn, v),
-                    chi, jnp.asarray(pd_bw["tab_bw"])[n],
-                    jnp.asarray(pd_bw["ph_bw"])[n],
-                )
+            chi_new = _apply_bw_prop(cp, pd_bw, Hd, chi, dt[n], n, U_n)
         elif pd is None:
             chi_prime, chi_new = gradgen_step(Hd, mud, chi, ndt)
         elif pd["kind"] == "newton":
@@ -978,17 +982,18 @@ def uses_static_envelope(cp: CompiledProblem):
         return True
     if cp.storage_mode != "recompute" and _pallas_forward_enabled(cp, None):
         return True
+    # the time-vectorized backward passes pick static counts from the
+    # envelope: the Taylor order (taylor) and the expm_frechet squaring
+    # count (gradgen).  Round-1 regression: the taylor path was not
+    # envelope-bucketed, so pulses outgrowing the guess envelope tripped
+    # the honest last-term check (VERDICT.md "What's weak" #1).
     if (
-        cp.gradient_method in ("taylor", "gradgen")
+        cp.gradient_method == "taylor"
         and cp.vectorize_backward
         and cp.storage_mode != "recompute"
     ):
-        # the time-vectorized backward passes pick static counts from the
-        # envelope: the Taylor order (taylor) and the expm_frechet
-        # squaring count (gradgen).  Round-1 regression: the taylor path
-        # was not envelope-bucketed, so pulses outgrowing the guess
-        # envelope tripped the honest last-term check (VERDICT.md
-        # "What's weak" #1).
+        return True
+    if _vec_gradgen_enabled(cp):
         return True
     return False
 
@@ -1043,7 +1048,6 @@ def _chi_prop_scan(cp: CompiledProblem, pds, eps, storage, chi_hat,
     ops_ = jnp.asarray(cp.ops)
     Mfix_ = jnp.asarray(cp.Mfix)
     shared = cp.shared_generator
-    mv = "ij,kj->ki" if shared else "kij,kj->ki"
     if cp.xi is not None:
         w = _grid_weights(tlist_j)
 
@@ -1055,25 +1059,7 @@ def _chi_prop_scan(cp: CompiledProblem, pds, eps, storage, chi_hat,
         else:
             H = H0_ + jnp.einsum("t,ktij->kij", coeffs, ops_)
         Hd = jnp.conj(jnp.swapaxes(H, -1, -2))
-        if pd_bw is None:
-            U = expm((1j * dt[n]).astype(cdtype) * Hd)
-            chi_new = jnp.einsum(mv, U, chi)
-        elif pd_bw["kind"] == "newton":
-            a = (1j * dt[n]).astype(cdtype)
-            chi_new = arnoldi_expmv(
-                lambda v: a * jnp.einsum(mv, Hd, v),
-                chi, m=pd_bw["m"], substeps=pd_bw["substeps"],
-            )
-        else:
-            d = cp.dim
-            Hn = (
-                2.0 * Hd - pd_bw["shift"] * jnp.eye(d, dtype=cdtype)
-            ) / pd_bw["dE"]
-            chi_new = cheby_apply(
-                lambda v: jnp.einsum(mv, Hn, v),
-                chi, jnp.asarray(pd_bw["tab_bw"])[n],
-                jnp.asarray(pd_bw["ph_bw"])[n],
-            )
+        chi_new = _apply_bw_prop(cp, pd_bw, Hd, chi, dt[n], n)
         if cp.xi is not None:
             xi_n = cp.xi(storage[n], cp.trajectories, tlist_j, n)
             inhom = (
@@ -1087,17 +1073,26 @@ def _chi_prop_scan(cp: CompiledProblem, pds, eps, storage, chi_hat,
     return chis_rev[::-1]
 
 
-def _vec_gradgen_enabled(cp: CompiledProblem, pds):
+def _vec_gradgen_enabled(cp: CompiledProblem, pds=None):
     """Time-vectorized gradgen backward: requires stored propagators
-    (ExpProp forward/backward/grad, full storage) and bounded U-storage."""
+    (ExpProp forward/backward/grad, full storage), bounded U-storage,
+    and propagator reuse not explicitly disabled."""
     if not cp.vectorize_backward or cp.gradient_method != "gradgen":
         return False
     if cp.storage_mode == "recompute":
         return False
-    for key in ("fw", "bw", "grad"):
-        pd = pds[key] if isinstance(pds, dict) and key in pds else pds
-        if pd is not None:
+    if cp.reuse_propagators is False:
+        # the user opted out of storing per-step propagators
+        return False
+    if pds is None:
+        if "expprop" != cp.fw_prop_method or "expprop" != cp.bw_prop_method \
+                or "expprop" != cp.grad_prop_method:
             return False
+    else:
+        for key in ("fw", "bw", "grad"):
+            pd = pds[key] if isinstance(pds, dict) and key in pds else pds
+            if pd is not None:
+                return False
     k_u = 1 if cp.shared_generator else cp.n_traj
     nbytes = (
         cp.n_timesteps * k_u * cp.dim * cp.dim
@@ -1406,8 +1401,8 @@ def build_f(cp: CompiledProblem, amp_max=None):
     @jax.default_matmul_precision("highest")
     def f(pulsevals):
         pulsevals = jnp.asarray(pulsevals, dtype=cp.tlist.dtype)
-        _, _, psi_T, (J_T_val, J_a_val, J_b_val, tau), _ = _evaluate_forward(
-            cp, pd, pulsevals
+        storage, _, psi_T, (J_T_val, J_a_val, J_b_val, tau), _ = (
+            _evaluate_forward(cp, pd, pulsevals)
         )
         J = J_T_val + J_a_val + J_b_val
         aux = {

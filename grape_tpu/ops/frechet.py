@@ -115,12 +115,12 @@ def _frechet_pade13(A, B):
     E = jnp.linalg.solve(Q, V + U)
     nL = B.shape[-3]
     rhs = Lu + Lv + (Lu - Lv) @ E[..., None, :, :]
-    rhs_cat = jnp.concatenate(
-        [rhs[..., l, :, :] for l in range(nL)], axis=-1
-    )  # (..., d, L*d)
+    # stack the L right-hand sides as columns for ONE multi-RHS solve:
+    # (..., L, d, d) -> (..., d, L*d) via transpose+reshape (O(1) HLO ops)
+    rhs_cat = jnp.moveaxis(rhs, -3, -2).reshape(*rhs.shape[:-3], d, nL * d)
     Lf_cat = jnp.linalg.solve(Q, rhs_cat)
-    Lf = jnp.stack(
-        [Lf_cat[..., l * d:(l + 1) * d] for l in range(nL)], axis=-3
+    Lf = jnp.moveaxis(
+        Lf_cat.reshape(*rhs.shape[:-3], d, nL, d), -2, -3
     )
     return E, Lf
 

@@ -117,3 +117,17 @@ def test_fw_prop_callback_observables():
             problem, fw_prop_callback=cb, storage_mode="recompute",
             rethrow_exceptions=True,
         )
+
+    # the F-only program (line-search probes) also carries the
+    # observables — round-2 review regression: build_f referenced
+    # undefined storage when fw_prop_callback was set
+    from grape_tpu.workspace import GrapeWrk
+
+    kwargs = dict(problem.kwargs)
+    kwargs.update(fw_prop_callback=cb, fw_prop_observables=[pop1])
+    wrk = GrapeWrk(problem.trajectories, problem.tlist, kwargs)
+    n_before = len(calls)
+    J = wrk.evaluate_functional(wrk.pulsevals)
+    assert np.isfinite(J)
+    assert len(calls) == n_before + 1
+    assert calls[-1][0].shape == (101, 1)
