@@ -41,7 +41,9 @@ from .ops.cheby import cheby_apply, cheby_coeffs, spectral_envelope
 from .ops.expm import expm
 from .ops.frechet import gradgen_step, taylor_grad_step
 from .ops.newton import arnoldi_expmv
-from .ops.pallas_prop import forward_scan_pallas, taylor_order_for_bound
+from .ops.pallas_prop import (
+    forward_scan_pallas, forward_scan_pallas_shared, taylor_order_for_bound,
+)
 
 __all__ = ["CompiledProblem", "compile_problem", "build_fg", "build_f"]
 
@@ -822,11 +824,6 @@ def _pallas_forward_enabled(cp: CompiledProblem, pds):
     pd_fw = pds["fw"] if isinstance(pds, dict) and "fw" in pds else pds
     if cp.use_pallas is False or pd_fw is not None:
         return False
-    if cp.shared_generator and cp.use_pallas == "auto":
-        # one generator for all trajectories: the XLA path computes ONE
-        # expm per step (the per-(k, n) Pallas kernel would do K) — the
-        # shared XLA forward wins
-        return False
     if cp.use_pallas == "auto" and cp.dim < 32:
         return False
     if cp.storage_mode == "recompute":
@@ -1333,11 +1330,20 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False):
                 + jnp.asarray(cp.Mfix)
             ).astype(jnp.float32)
             dts = jnp.diff(tlist_j).astype(jnp.float32)
-            out = forward_scan_pallas(
-                cp.H0, cp.ops, coeffs, dts, cp.psi0,
-                n_squarings=_pallas_squarings(cp, amp_max),
-                with_propagators=want_U,
-            )
+            if cp.shared_generator:
+                # one expm per step applied to the (K, d) state block
+                out = forward_scan_pallas_shared(
+                    jnp.asarray(cp.H0)[0], jnp.asarray(cp.ops)[0],
+                    coeffs, dts, cp.psi0,
+                    n_squarings=_pallas_squarings(cp, amp_max),
+                    with_propagators=want_U,
+                )
+            else:
+                out = forward_scan_pallas(
+                    cp.H0, cp.ops, coeffs, dts, cp.psi0,
+                    n_squarings=_pallas_squarings(cp, amp_max),
+                    with_propagators=want_U,
+                )
             storage, Us = out if want_U else (out, None)
         elif want_U:
             storage, Us = _forward(cp, pulsevals, pd, with_U=True)

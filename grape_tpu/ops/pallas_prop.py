@@ -29,7 +29,8 @@ from .expm import _FACT_INV
 
 __all__ = [
     "forward_scan_pallas", "forward_scan_pallas_time",
-    "taylor_order_for_bound", "pallas_available",
+    "forward_scan_pallas_shared", "taylor_order_for_bound",
+    "pallas_available",
 ]
 
 
@@ -324,6 +325,124 @@ def forward_scan_pallas_time(
     return jnp.concatenate(
         [jnp.asarray(psi0)[None].astype(jnp.complex64), ys], axis=0
     )
+
+
+def _fwd_kernel_shared(
+    coeffs_ref, dts_ref,
+    h0r_ref, h0i_ref, opsr_ref, opsi_ref, psi0r_ref, psi0i_ref,
+    outr_ref, outi_ref,
+    *rest,  # [ur_ref, ui_ref (1, d, d) streamed] + psir/psii scratch (K, d)
+    degree, n_squarings, n_terms, with_U=False,
+):
+    """Grid (N_T,): SHARED generator — ONE expm per step in VMEM, applied
+    to the whole (K, d) state block (gate optimization: K basis states,
+    one Hamiltonian)."""
+    if with_U:
+        ur_ref, ui_ref, psir_ref, psii_ref = rest
+    else:
+        psir_ref, psii_ref = rest
+    n = pl.program_id(0)
+
+    @pl.when(n == 0)
+    def _():
+        psir_ref[...] = psi0r_ref[...]
+        psii_ref[...] = psi0i_ref[...]
+
+    hr = h0r_ref[0]
+    hi = h0i_ref[0]
+    for j in range(n_terms):
+        c = coeffs_ref[n, j]
+        hr = hr + c * opsr_ref[j]
+        hi = hi + c * opsi_ref[j]
+    dt = dts_ref[n, 0]
+    ar = dt * hi
+    ai = -dt * hr
+    er, ei = _expm_taylor_kernel_body(ar, ai, degree, n_squarings)
+    vr, vi = _cmatvec(er, ei, psir_ref[...], psii_ref[...])  # (K, d)
+    psir_ref[...] = vr
+    psii_ref[...] = vi
+    outr_ref[0] = vr
+    outi_ref[0] = vi
+    if with_U:
+        ur_ref[0] = er
+        ui_ref[0] = ei
+
+
+def forward_scan_pallas_shared(
+    H0, ops, coeffs, dts, psi0, n_squarings, degree=16, interpret=False,
+    with_propagators=False,
+):
+    """Fused forward propagation for a SHARED generator.
+
+    ``H0 (d, d)``, ``ops (T, d, d)`` complex64 (one Hamiltonian for all
+    trajectories), otherwise like :func:`forward_scan_pallas`.  Returns
+    ``storage (N_T+1, K, d)`` (+ ``U (N_T, d, d)`` with
+    ``with_propagators``)."""
+    K, d = psi0.shape
+    T = ops.shape[0]
+    N_T = coeffs.shape[0]
+    f32 = jnp.float32
+    h0r = jnp.real(jnp.asarray(H0)).astype(f32)[None]
+    h0i = jnp.imag(jnp.asarray(H0)).astype(f32)[None]
+    opsr = jnp.real(jnp.asarray(ops)).astype(f32)
+    opsi = jnp.imag(jnp.asarray(ops)).astype(f32)
+    psi0r = jnp.real(jnp.asarray(psi0)).astype(f32)
+    psi0i = jnp.imag(jnp.asarray(psi0)).astype(f32)
+    coeffs = jnp.asarray(coeffs, dtype=f32)
+    dts2 = jnp.asarray(dts, dtype=f32).reshape(N_T, 1)
+
+    kernel = functools.partial(
+        _fwd_kernel_shared, degree=degree, n_squarings=int(n_squarings),
+        n_terms=T, with_U=with_propagators,
+    )
+    out_specs = [
+        pl.BlockSpec((1, K, d), lambda n, *_: (n, 0, 0)),
+        pl.BlockSpec((1, K, d), lambda n, *_: (n, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((N_T, K, d), f32),
+        jax.ShapeDtypeStruct((N_T, K, d), f32),
+    ]
+    if with_propagators:
+        out_specs += [
+            pl.BlockSpec((1, d, d), lambda n, *_: (n, 0, 0)),
+            pl.BlockSpec((1, d, d), lambda n, *_: (n, 0, 0)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((N_T, d, d), f32),
+            jax.ShapeDtypeStruct((N_T, d, d), f32),
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N_T,),
+        in_specs=[
+            pl.BlockSpec((1, d, d), lambda n, *_: (0, 0, 0)),
+            pl.BlockSpec((1, d, d), lambda n, *_: (0, 0, 0)),
+            pl.BlockSpec((T, d, d), lambda n, *_: (0, 0, 0)),
+            pl.BlockSpec((T, d, d), lambda n, *_: (0, 0, 0)),
+            pl.BlockSpec((K, d), lambda n, *_: (0, 0)),
+            pl.BlockSpec((K, d), lambda n, *_: (0, 0)),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((K, d), f32),
+            pltpu.VMEM((K, d), f32),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(coeffs, dts2, h0r, h0i, opsr, opsi, psi0r, psi0i)
+    ys = (outs[0] + 1j * outs[1]).astype(jnp.complex64)
+    storage = jnp.concatenate(
+        [jnp.asarray(psi0)[None].astype(jnp.complex64), ys], axis=0
+    )
+    if with_propagators:
+        U = (outs[2] + 1j * outs[3]).astype(jnp.complex64)  # (N_T, d, d)
+        return storage, U
+    return storage
 
 
 def taylor_order_for_bound(bound, tolerance=1e-8, max_order=100,

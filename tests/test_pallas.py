@@ -73,3 +73,39 @@ def test_forward_scan_pallas_time_grid_interpret():
     assert np.max(np.abs(a - b)) < 1e-6
 
 
+
+
+def test_forward_scan_pallas_shared_interpret():
+    """The shared-generator forward kernel (one expm per step applied to
+    the (K, d) state block, with U streaming) matches per-step dense
+    expm propagation."""
+    from grape_tpu.ops.expm import expm
+    from grape_tpu.ops.pallas_prop import forward_scan_pallas_shared
+
+    rng = np.random.default_rng(11)
+    K, d, T, N_T = 3, 8, 2, 5
+    H0 = (rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d)))
+    H0 = (0.5 * (H0 + H0.conj().T)).astype(np.complex64)
+    ops = rng.normal(size=(T, d, d)) + 1j * rng.normal(size=(T, d, d))
+    ops = (0.5 * (ops + np.conj(np.swapaxes(ops, -1, -2)))).astype(
+        np.complex64
+    )
+    coeffs = (rng.normal(size=(N_T, T)) * 0.3).astype(np.float32)
+    dts = np.full(N_T, 0.1, dtype=np.float32)
+    psi0 = (rng.normal(size=(K, d)) + 1j * rng.normal(size=(K, d)))
+    psi0 = (psi0 / np.linalg.norm(psi0, axis=1, keepdims=True)).astype(
+        np.complex64
+    )
+    st, U = forward_scan_pallas_shared(
+        H0, ops, coeffs, dts, jnp.asarray(psi0),
+        n_squarings=1, with_propagators=True, interpret=True,
+    )
+    psi = psi0.astype(np.complex128)
+    for n in range(N_T):
+        H = H0.astype(np.complex128) + np.einsum(
+            "t,tij->ij", coeffs[n], ops.astype(np.complex128)
+        )
+        Un = np.asarray(expm(jnp.asarray(-1j * float(dts[n]) * H)))
+        psi = psi @ Un.T
+        assert np.abs(np.asarray(U[n]) - Un).max() < 1e-5
+        assert np.abs(np.asarray(st[n + 1]) - psi).max() < 1e-5
