@@ -138,20 +138,57 @@ def _sweep_configs():
         return build_fg(cp), cp
 
     return [
-        ("dim2_tls_taylor", lambda: tls(800, "taylor"), 800, 1),
-        ("dim16_cz_taylor", lambda: cz(4, 400, "taylor", "expprop"),
-         400, 4),
+        ("cz_optimize_iters", None, 800, 4),  # end-to-end GRAPE iters/s
         ("dim100_cz_gradgen", lambda: cz(10, 800, "gradgen", "expprop"),
          800, 4),
+        ("dim16_cz_taylor", lambda: cz(4, 400, "taylor", "expprop"),
+         400, 4),
         ("dim256_cz_cheby_taylor",
          lambda: cz(16, 200, "taylor", "cheby", T=5.0), 200, 4),
         ("dim1024_cz_cheby_taylor",
          lambda: cz(32, 100, "taylor", "cheby", T=1.0), 100, 4),
+        ("dim2_tls_taylor", lambda: tls(800, "taylor"), 800, 1),
     ]
+
+
+def _optimize_iters_entry(name):
+    """End-to-end GRAPE iterations/s (BASELINE metric): the full
+    optimize() loop — jitted fg, host C++ L-BFGS-B, callbacks — on the
+    CZ dim=100 configuration.  The first iteration (device compile/queue
+    cost) is excluded via callback timestamps."""
+    from grape_tpu import optimize_problem
+    from grape_tpu.models import two_transmon_cz_problem
+
+    problem = two_transmon_cz_problem(d=10, n_steps=800, T=50.0)
+    stamps = []
+
+    def cb(wrk, iteration):
+        stamps.append(time.perf_counter())
+
+    res = optimize_problem(
+        problem, dtype=np.complex64, gradient_method="taylor",
+        iter_stop=12, callback=cb, print_iters=False,
+        rethrow_exceptions=True,
+    )
+    # stamps[0] = iteration 0 (first fg: compile+queue), exclude it and
+    # the first real iteration's share of warmup
+    n_timed = len(stamps) - 2
+    iters_per_s = n_timed / max(stamps[-1] - stamps[1], 1e-9)
+    return {
+        "config": name,
+        "dim": 100,
+        "n_steps": 800,
+        "iters": int(res.iter),
+        "J_T": round(float(res.J_T), 6),
+        "grape_iters_per_s": round(iters_per_s, 2),
+    }
 
 
 def _run_one_sweep_config(name):
     """Subprocess entry: run one sweep config, print its JSON entry."""
+    if name == "cz_optimize_iters":
+        print("SWEEP_ENTRY " + json.dumps(_optimize_iters_entry(name)))
+        return
     peak = _peak_flops(jax.devices()[0])
     for cfg_name, build, n_steps, k_traj in _sweep_configs():
         if cfg_name != name:

@@ -2,9 +2,10 @@ from .transmon import (
     transmon_qutrit_problem, two_transmon_cz_problem,
     transmon_ensemble_trajectories,
 )
-from .tls import tls_problem
+from .tls import tls_problem, tls_xgate_problem
 
 __all__ = [
-    "tls_problem", "transmon_qutrit_problem", "two_transmon_cz_problem",
+    "tls_problem", "tls_xgate_problem", "transmon_qutrit_problem",
+    "two_transmon_cz_problem",
     "transmon_ensemble_trajectories",
 ]

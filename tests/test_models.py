@@ -87,3 +87,42 @@ def test_graft_entry():
     assert np.isfinite(float(J))
     assert np.isfinite(np.linalg.norm(np.asarray(grad)))
     g.dryrun_multichip(8)
+
+
+def test_tls_xgate_problem():
+    """BASELINE config 2: TLS X-gate over the tomography-complete basis
+    {|0>, |1>, |+>, |+i>} with a fluence running cost; shared-generator
+    gate path (K=4, one H)."""
+    from grape_tpu.models import tls_xgate_problem
+    from grape_tpu.fg import compile_problem
+
+    problem = tls_xgate_problem(iter_stop=20)
+    cp = compile_problem(problem.trajectories, problem.tlist,
+                         **problem.kwargs)
+    assert cp.shared_generator and cp.n_traj == 4 and cp.n_controls == 2
+    res = optimize_problem(
+        problem, print_iters=False, rethrow_exceptions=True,
+        check_convergence=lambda r: bool(r.J_T < 1e-4),
+    )
+    assert res.converged
+    assert res.J_T < 1e-3
+    assert res.J_a > 0.0  # fluence cost active
+    # gate realized up to global phase: check the propagated basis
+    from grape_tpu import get_controls, propagate, substitute
+
+    H = problem.trajectories[0].generator
+    H_opt = substitute(
+        H, list(zip(get_controls(H), res.optimized_controls))
+    )
+    psis = [
+        propagate(t.initial_state, H_opt, problem.tlist)
+        for t in problem.trajectories
+    ]
+    overlaps = [
+        np.vdot(t.target_state, psi)
+        for t, psi in zip(problem.trajectories, psis)
+    ]
+    # all overlaps share one global phase, each with |tau| ~ 1
+    assert min(abs(o) for o in overlaps) > 0.999
+    phases = np.angle(np.asarray(overlaps))
+    assert np.ptp((phases - phases[0] + np.pi) % (2 * np.pi)) < 1e-2
