@@ -170,17 +170,22 @@ def _optimize_iters_entry(name):
         iter_stop=12, callback=cb, print_iters=False,
         rethrow_exceptions=True,
     )
-    # stamps[0] = iteration 0 (first fg: compile+queue), exclude it and
-    # the first real iteration's share of warmup
-    n_timed = len(stamps) - 2
-    iters_per_s = n_timed / max(stamps[-1] - stamps[1], 1e-9)
+    # stamps[0] = iteration 0 (first fg: compile+queue).  One iteration
+    # typically also pays an amplitude-envelope re-jit (the optimizer
+    # grows the pulses past the guess envelope once); report the median
+    # per-iteration rate as steady state and the mean including re-jits.
+    dts = np.diff(np.asarray(stamps[1:]))
+    steady = 1.0 / max(float(np.median(dts)), 1e-9)
+    incl = len(dts) / max(float(np.sum(dts)), 1e-9)
     return {
         "config": name,
         "dim": 100,
         "n_steps": 800,
         "iters": int(res.iter),
+        "fg_calls": int(res.fg_calls),
         "J_T": round(float(res.J_T), 6),
-        "grape_iters_per_s": round(iters_per_s, 2),
+        "grape_iters_per_s": round(steady, 2),
+        "grape_iters_per_s_incl_rejit": round(incl, 2),
     }
 
 

@@ -185,7 +185,13 @@ class GrapeWrk:
 
     def evaluate_functional(self, x, count_call=True):
         self._ensure_envelope(x)
-        J, aux = self.f(np.asarray(x, dtype=np.float64))
+        # ONE overlapped device->host fetch of the whole output tree: on
+        # the axon TPU each individual transfer pays a ~25 ms tunnel
+        # round-trip, so per-item np.asarray costs ~6x the evaluation
+        # itself (measured: 285 vs 48 ms per fg eval)
+        import jax
+
+        J, aux = jax.device_get(self.f(np.asarray(x, dtype=np.float64)))
         if count_call:
             self.fg_count[1] += 1
             self.result.f_calls += 1
@@ -214,7 +220,12 @@ class GrapeWrk:
 
     def evaluate_gradient(self, x, G_out=None):
         self._ensure_envelope(x)
-        J, G, aux = self.fg(np.asarray(x, dtype=np.float64))
+        import jax
+
+        # single overlapped device->host fetch (see evaluate_functional)
+        J, G, aux = jax.device_get(
+            self.fg(np.asarray(x, dtype=np.float64))
+        )
         if not bool(aux.get("taylor_ok", True)) and self._amp_bucket:
             # safety net: the static Taylor order was sized from the
             # amplitude envelope; if the honest last-term check still
@@ -224,7 +235,9 @@ class GrapeWrk:
                 2.0 * np.asarray(self._amp_bucket)
             )
             self.fg, self.f = self._programs()
-            J, G, aux = self.fg(np.asarray(x, dtype=np.float64))
+            J, G, aux = jax.device_get(
+                self.fg(np.asarray(x, dtype=np.float64))
+            )
         self.fg_count[0] += 1
         self.result.fg_calls += 1
         self.J_parts[:] = np.asarray(aux["J_parts"], dtype=np.float64)
