@@ -120,3 +120,32 @@ def test_weak_scaling_efficiency_virtual():
     )
     assert set(table[0]) >= {"n_devices", "steps_per_s", "efficiency"}
     assert table[0]["efficiency"] == 1.0
+
+
+def test_sharded_gate_problem_shared_generator():
+    """Gate problems (shared generator) under the sharded driver: the
+    operator arrays are REPLICATED (every device slices H0[0] locally)
+    while psi0/trajectory data shards; the result matches single-device."""
+    from grape_tpu.fg import compile_problem
+    from grape_tpu.models import tls_xgate_problem
+
+    problem = tls_xgate_problem(n_steps=100, iter_stop=5)
+    cp = compile_problem(problem.trajectories, problem.tlist,
+                         **problem.kwargs)
+    assert cp.shared_generator
+    from grape_tpu import optimize_problem
+
+    res1 = optimize_problem(problem, print_iters=False,
+                            rethrow_exceptions=True)
+    mesh = make_mesh(4)  # K=4 basis states over 4 devices
+    from grape_tpu.parallel import shard_problem
+
+    cp_sh = shard_problem(cp, mesh)
+    # operators replicated, states sharded
+    assert len(set(s.device for s in cp_sh.psi0.addressable_shards)) == 4
+    assert cp_sh.H0.sharding.is_fully_replicated
+    res2 = optimize_problem(problem, mesh=mesh, print_iters=False,
+                            rethrow_exceptions=True)
+    assert abs(res1.J_T - res2.J_T) < 1e-12
+    for c1, c2 in zip(res1.optimized_controls, res2.optimized_controls):
+        np.testing.assert_allclose(c2, c1, rtol=0, atol=1e-10)
