@@ -43,6 +43,36 @@ class GrapeWrk:
             from .parallel import shard_problem
 
             self.cp = shard_problem(self.cp, self.mesh)
+        self.controls = self.cp.controls
+        L, N_T = self.cp.n_controls, self.cp.n_timesteps
+        self.n = L * N_T
+
+        # bounds (flat, same l-major layout as pulsevals) — built before
+        # the envelope bucketing, which uses them as per-control caps
+        ub = float(self.kwargs.get("upper_bound", np.inf))
+        lb = float(self.kwargs.get("lower_bound", -np.inf))
+        self.upper_bounds = np.full(self.n, ub)
+        self.lower_bounds = np.full(self.n, lb)
+        pulse_options = self.kwargs.get("pulse_options", None)
+        if pulse_options:
+            for l, control in enumerate(self.controls):
+                options = None
+                for key, val in pulse_options.items():
+                    if key is control:
+                        options = val
+                        break
+                if options is None:
+                    continue
+                sl = slice(l * N_T, (l + 1) * N_T)
+                if "upper_bounds" in options:
+                    self.upper_bounds[sl] = np.asarray(
+                        options["upper_bounds"], dtype=np.float64
+                    )
+                if "lower_bounds" in options:
+                    self.lower_bounds[sl] = np.asarray(
+                        options["lower_bounds"], dtype=np.float64
+                    )
+
         self._amp_bucket = None
         self._program_cache = {}
         from .fg import uses_static_envelope
@@ -50,9 +80,11 @@ class GrapeWrk:
         if uses_static_envelope(self.cp):
             # Amplitude-envelope bucketing: Chebyshev coefficient tables,
             # the Pallas kernels' static squaring counts, AND the
-            # vectorized-Taylor backward's static order count are all
-            # derived from the envelope.  The envelope is bucketed to
-            # powers of two and programs are re-jitted only when the
+            # vectorized backward passes' static order/squaring counts are
+            # all derived from the envelope.  Controls with FINITE box
+            # bounds use the bound itself as the envelope (pulses can
+            # never exceed it — zero re-jits); unbounded controls get a
+            # power-of-two bucket and programs re-jit only when the
             # optimizer pushes a pulse beyond the current bucket (the
             # reference instead re-initializes its Cheby propagators with
             # control-range hints each evaluation,
@@ -61,9 +93,6 @@ class GrapeWrk:
                 np.max(np.abs(self.cp.guess_pulsevals), axis=1)
             )
         self.fg, self.f = self._programs()
-        self.controls = self.cp.controls
-        L, N_T = self.cp.n_controls, self.cp.n_timesteps
-        self.n = L * N_T
 
         continue_from = self.kwargs.get("continue_from", None)
         if continue_from is not None:
@@ -101,31 +130,6 @@ class GrapeWrk:
         self.states = None  # (K, d) final states of latest evaluation
         self.fg_count = np.zeros(2, dtype=np.int64)  # [fg_calls, f_calls]
 
-        # bounds (flat, same l-major layout as pulsevals)
-        ub = float(self.kwargs.get("upper_bound", np.inf))
-        lb = float(self.kwargs.get("lower_bound", -np.inf))
-        self.upper_bounds = np.full(self.n, ub)
-        self.lower_bounds = np.full(self.n, lb)
-        pulse_options = self.kwargs.get("pulse_options", None)
-        if pulse_options:
-            for l, control in enumerate(self.controls):
-                options = None
-                for key, val in pulse_options.items():
-                    if key is control:
-                        options = val
-                        break
-                if options is None:
-                    continue
-                sl = slice(l * N_T, (l + 1) * N_T)
-                if "upper_bounds" in options:
-                    self.upper_bounds[sl] = np.asarray(
-                        options["upper_bounds"], dtype=np.float64
-                    )
-                if "lower_bounds" in options:
-                    self.lower_bounds[sl] = np.asarray(
-                        options["lower_bounds"], dtype=np.float64
-                    )
-
         # optimizer-introspection state (filled by the backend)
         self.optimizer = self.kwargs.get("optimizer", None)
         self.optimizer_state = None
@@ -137,14 +141,19 @@ class GrapeWrk:
     # -- Chebyshev amplitude-envelope bucketing ----------------------------
 
     def _bucket_for(self, amps):
+        """Per-control amplitude envelope.  Controls with finite box
+        bounds use the bound itself (exact and final — the optimizer can
+        never exceed it, so those controls never trigger a re-jit);
+        unbounded controls get a power-of-two bucket ≥ 2× the current
+        amplitude."""
         amps = np.maximum(np.asarray(amps, dtype=np.float64), 0.05)
-        ub = self.kwargs.get("upper_bound", np.inf)
-        lb = self.kwargs.get("lower_bound", -np.inf)
-        bound_amp = max(abs(ub), abs(lb)) if np.isfinite(ub) and np.isfinite(
-            lb
-        ) else np.inf
-        target = np.minimum(2.0 * amps, bound_amp)
-        return tuple(np.exp2(np.ceil(np.log2(target))))
+        L, N_T = self.cp.n_controls, self.cp.n_timesteps
+        cap = np.maximum(
+            np.abs(self.upper_bounds.reshape(L, N_T)).max(axis=1),
+            np.abs(self.lower_bounds.reshape(L, N_T)).max(axis=1),
+        )  # (L,) per-control bound envelope; inf where unbounded
+        grown = np.exp2(np.ceil(np.log2(2.0 * amps)))
+        return tuple(np.where(np.isfinite(cap), cap, grown))
 
     def _programs(self):
         key = self._amp_bucket
