@@ -175,8 +175,11 @@ def _optimize_iters_entry(name):
     # grows the pulses past the guess envelope once); report the median
     # per-iteration rate as steady state and the mean including re-jits.
     dts = np.diff(np.asarray(stamps[1:]))
-    steady = 1.0 / max(float(np.median(dts)), 1e-9)
-    incl = len(dts) / max(float(np.sum(dts)), 1e-9)
+    if len(dts) == 0:  # converged within 2 iterations: no timed window
+        steady = incl = 0.0
+    else:
+        steady = 1.0 / max(float(np.median(dts)), 1e-9)
+        incl = len(dts) / max(float(np.sum(dts)), 1e-9)
     return {
         "config": name,
         "dim": 100,

@@ -14,6 +14,7 @@ propagators, here the pulse vector is simply the argument of the jitted
 passes the current vector to the device program.
 """
 
+import jax
 import numpy as np
 
 from .controls import discretize_on_midpoints
@@ -141,11 +142,19 @@ class GrapeWrk:
     # -- Chebyshev amplitude-envelope bucketing ----------------------------
 
     def _bucket_for(self, amps):
-        """Per-control amplitude envelope.  Controls with finite box
-        bounds use the bound itself (exact and final — the optimizer can
-        never exceed it, so those controls never trigger a re-jit);
-        unbounded controls get a power-of-two bucket ≥ 2× the current
-        amplitude."""
+        """Per-control amplitude envelope.
+
+        Controls with a finite box bound in the VICINITY of the current
+        amplitudes (within 16× of the natural power-of-two bucket) use
+        the bound itself: the L-BFGS-B iterates can never exceed it, so
+        those controls never trigger a mid-run re-jit, and the envelope
+        is exact.  Loose sanity bounds far above the real amplitudes are
+        NOT used (they would over-size the static Taylor orders /
+        Chebyshev tables or disable the vectorized backward outright);
+        those controls grow power-of-two buckets like unbounded ones.
+        Amplitudes beyond the bound (optax line-search probes, callback
+        mutation) also fall back to the growing bucket — correctness
+        never depends on the iterates respecting the bounds."""
         amps = np.maximum(np.asarray(amps, dtype=np.float64), 0.05)
         L, N_T = self.cp.n_controls, self.cp.n_timesteps
         cap = np.maximum(
@@ -153,7 +162,10 @@ class GrapeWrk:
             np.abs(self.lower_bounds.reshape(L, N_T)).max(axis=1),
         )  # (L,) per-control bound envelope; inf where unbounded
         grown = np.exp2(np.ceil(np.log2(2.0 * amps)))
-        return tuple(np.where(np.isfinite(cap), cap, grown))
+        use_cap = (
+            np.isfinite(cap) & (amps <= cap) & (cap <= 16.0 * grown)
+        )
+        return tuple(np.where(use_cap, cap, grown))
 
     def _programs(self):
         key = self._amp_bucket
@@ -198,8 +210,6 @@ class GrapeWrk:
         # the axon TPU each individual transfer pays a ~25 ms tunnel
         # round-trip, so per-item np.asarray costs ~6x the evaluation
         # itself (measured: 285 vs 48 ms per fg eval)
-        import jax
-
         J, aux = jax.device_get(self.f(np.asarray(x, dtype=np.float64)))
         if count_call:
             self.fg_count[1] += 1
@@ -229,8 +239,6 @@ class GrapeWrk:
 
     def evaluate_gradient(self, x, G_out=None):
         self._ensure_envelope(x)
-        import jax
-
         # single overlapped device->host fetch (see evaluate_functional)
         J, G, aux = jax.device_get(
             self.fg(np.asarray(x, dtype=np.float64))

@@ -81,7 +81,11 @@ def test_open_system_optimization():
 def test_dissipative_tls_model_optimization():
     """Open-system model family: dissipative TLS transfer under amplitude
     damping — both gradient methods work on the NON-Hermitian Liouvillian
-    and agree; the optimized pulse beats the decay."""
+    and agree; the optimized pulse beats the decay.  Reference anchors:
+    the "Open Quantum Systems" vectorized-density-matrix treatment
+    (`/root/reference/docs/src/background.md`) and the non-Hermitian
+    taylor kernel test (`/root/reference/test/test_taylor_grad.jl:33-48`,
+    random non-Hermitian generators)."""
     from grape_tpu.models import dissipative_tls_problem
     from grape_tpu import optimize_problem, substitute, get_controls
 

@@ -78,7 +78,9 @@ def test_forward_scan_pallas_time_grid_interpret():
 def test_forward_scan_pallas_shared_interpret():
     """The shared-generator forward kernel (one expm per step applied to
     the (K, d) state block, with U streaming) matches per-step dense
-    expm propagation."""
+    expm propagation (the reference's ExpProp semantics,
+    `/root/reference/README.md:38`; gate problems = K basis trajectories
+    under one generator as in `/root/reference/test/test_lbfgsb_saddle_point.jl:40-47`)."""
     from grape_tpu.ops.expm import expm
     from grape_tpu.ops.pallas_prop import forward_scan_pallas_shared
 

@@ -125,7 +125,10 @@ def test_weak_scaling_efficiency_virtual():
 def test_sharded_gate_problem_shared_generator():
     """Gate problems (shared generator) under the sharded driver: the
     operator arrays are REPLICATED (every device slices H0[0] locally)
-    while psi0/trajectory data shards; the result matches single-device."""
+    while psi0/trajectory data shards; the result matches single-device.
+    Reference anchor: the `@threadsif` trajectory parallelism over gate
+    basis states (`/root/reference/src/optimize.jl:720,876` with the
+    CNOT gate setup of `test/test_lbfgsb_saddle_point.jl:40-47`)."""
     from grape_tpu.fg import compile_problem
     from grape_tpu.models import tls_xgate_problem
 

@@ -125,3 +125,35 @@ def test_nonuniform_grid_gradient_matches_fd():
             xm = x.copy(); xm[idx] -= h
             fd = (float(f(xp)[0]) - float(f(xm)[0])) / (2 * h)
             assert abs(grad[idx] - fd) < 1e-7, (method, idx)
+
+
+def test_envelope_bucket_policy():
+    """Amplitude-envelope policy (round-2 review findings): a NEARBY box
+    bound becomes the exact envelope (zero re-jits — L-BFGS-B iterates
+    cannot exceed it); a LOOSE sanity bound does not over-provision the
+    static orders; amplitudes beyond the bound still grow the envelope
+    (optax probes / callback mutation don't depend on bound respect)."""
+    from grape_tpu.workspace import GrapeWrk
+    from grape_tpu.functionals import J_T_sm
+    from grape_tpu.testing import tls_problem
+
+    p = tls_problem(n_steps=50)
+
+    def wrk_with(**kw):
+        kwargs = dict(p.kwargs)
+        kwargs.update(J_T=J_T_sm, gradient_method="taylor", **kw)
+        return GrapeWrk(p.trajectories, p.tlist, kwargs)
+
+    # nearby bound (guess max 0.2): envelope == bound exactly
+    w1 = wrk_with(lower_bound=-0.7, upper_bound=0.7)
+    assert w1._amp_bucket == (0.7,)
+    w1._ensure_envelope(np.full(50, 0.69))
+    assert w1._amp_bucket == (0.7,)  # within bound: no growth
+
+    # loose sanity bound: power-of-two bucket, NOT the bound
+    w2 = wrk_with(lower_bound=-50.0, upper_bound=50.0)
+    assert w2._amp_bucket[0] < 1.0
+
+    # out-of-bound amplitudes (callback mutation) grow past the cap
+    w1._ensure_envelope(np.full(50, 1.5))
+    assert w1._amp_bucket[0] >= 1.5
