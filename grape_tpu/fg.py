@@ -42,7 +42,8 @@ from .ops.expm import expm
 from .ops.frechet import gradgen_step, taylor_grad_step
 from .ops.newton import arnoldi_expmv
 from .ops.pallas_prop import (
-    forward_scan_pallas, forward_scan_pallas_shared, taylor_order_for_bound,
+    forward_scan_pallas, forward_scan_pallas_shared,
+    forward_scan_pallas_smalld, taylor_order_for_bound,
 )
 
 __all__ = ["CompiledProblem", "compile_problem", "build_fg", "build_f"]
@@ -838,6 +839,26 @@ def _pallas_forward_enabled(cp: CompiledProblem, pds):
     return bool(cp.use_pallas)
 
 
+def _pallas_smalld_enabled(cp: CompiledProblem, pds):
+    """Small-dim ensemble Pallas kernel: per-trajectory generators at
+    d ≤ 4 with a large ensemble — the (d², K) lane layout turns each tiny
+    matmul into d³ vector FMAs over the K lanes; the XLA scan's per-step
+    dispatch of (K, d, d) batched micro-matmuls is latency-bound there
+    (measured: the K=1024 qutrit forward dominates the fg evaluation)."""
+    pd_fw = pds["fw"] if isinstance(pds, dict) and "fw" in pds else pds
+    if cp.use_pallas is False or pd_fw is not None:
+        return False
+    if cp.shared_generator or cp.dim > 4 or cp.n_traj < 128:
+        return False
+    if cp.storage_mode == "recompute":
+        return False
+    if cp.psi0.dtype != np.complex64:
+        return False
+    import jax as _jax
+
+    return _jax.devices()[0].platform == "tpu"
+
+
 def _h_norm_bound(cp: CompiledProblem, amp_max=None):
     """Host-side envelope bound on ``‖H_n‖_1``:
     ``||H0||_1 + sum_j cmax_j ||Op_j||_1``."""
@@ -947,7 +968,10 @@ def _reuse_U_enabled(cp: CompiledProblem, pds):
         import jax as _jax
 
         if _jax.devices()[0].platform == "tpu" and not cp.shared_generator:
-            return _pallas_forward_enabled(cp, pds)
+            return (
+                _pallas_forward_enabled(cp, pds)
+                or _pallas_smalld_enabled(cp, pds)
+            )
         return True
     return bool(cp.reuse_propagators)
 
@@ -1321,7 +1345,22 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False):
     tlist_j = jnp.asarray(cp.tlist)
     if cp.storage_mode != "recompute":
         Us = None
-        if _pallas_forward_enabled(cp, pd):
+        if _pallas_smalld_enabled(cp, pd):
+            amp_max = (
+                pd.get("amp_max") if isinstance(pd, dict) else None
+            )
+            coeffs = (
+                jnp.einsum("ntl,ln->nt", jnp.asarray(cp.M), eps)
+                + jnp.asarray(cp.Mfix)
+            ).astype(jnp.float32)
+            dts = jnp.diff(tlist_j).astype(jnp.float32)
+            out = forward_scan_pallas_smalld(
+                cp.H0, cp.ops, coeffs, dts, cp.psi0,
+                n_squarings=_pallas_squarings(cp, amp_max),
+                with_propagators=want_U,
+            )
+            storage, Us = out if want_U else (out, None)
+        elif _pallas_forward_enabled(cp, pd):
             amp_max = (
                 pd.get("amp_max") if isinstance(pd, dict) else None
             )

@@ -29,8 +29,8 @@ from .expm import _FACT_INV
 
 __all__ = [
     "forward_scan_pallas", "forward_scan_pallas_time",
-    "forward_scan_pallas_shared", "taylor_order_for_bound",
-    "pallas_available",
+    "forward_scan_pallas_shared", "forward_scan_pallas_smalld",
+    "taylor_order_for_bound", "pallas_available",
 ]
 
 
@@ -441,6 +441,199 @@ def forward_scan_pallas_shared(
     )
     if with_propagators:
         U = (outs[2] + 1j * outs[3]).astype(jnp.complex64)  # (N_T, d, d)
+        return storage, U
+    return storage
+
+
+def _rows_mm(a, b, d):
+    """Real matmul on the lane layout: ``a``/``b`` are length-``d²`` lists
+    of ``(1, K)`` rows (row ``i*d+j`` = matrix element ``[i, j]`` across
+    the ensemble lanes).  Unrolled ``d³`` vector FMAs — the VPU shape for
+    tiny matrices batched over a large ensemble."""
+    out = []
+    for i in range(d):
+        for j in range(d):
+            acc = a[i * d] * b[j]
+            for m in range(1, d):
+                acc = acc + a[i * d + m] * b[m * d + j]
+            out.append(acc)
+    return out
+
+
+def _rows_cmm(ar, ai, br, bi, d):
+    """Karatsuba complex matmul on row lists (3 real matmuls)."""
+    t1 = _rows_mm(ar, br, d)
+    t2 = _rows_mm(ai, bi, d)
+    t3 = _rows_mm(
+        [x + y for x, y in zip(ar, ai)],
+        [x + y for x, y in zip(br, bi)], d,
+    )
+    cr = [x - y for x, y in zip(t1, t2)]
+    ci = [z - x - y for z, x, y in zip(t3, t1, t2)]
+    return cr, ci
+
+
+def _smalld_kernel(
+    coeffs_ref, dts_ref,
+    h0r_ref, h0i_ref, opsr_ref, opsi_ref, psi0r_ref, psi0i_ref,
+    outr_ref, outi_ref,
+    *rest,  # [ur_ref, ui_ref (1, d2, K)] + psir/psii scratch (d, K)
+    degree, n_squarings, n_terms, d, with_U=False,
+):
+    """Grid (N_T,): ensemble (per-trajectory generators) at SMALL dim —
+    matrices live as (d², K) lane planes; every matmul is d³ unrolled
+    vector FMAs over the K ensemble lanes (MXU tiles would waste
+    (128/d)³ of their area on padding)."""
+    if with_U:
+        ur_ref, ui_ref, psir_ref, psii_ref = rest
+    else:
+        psir_ref, psii_ref = rest
+    n = pl.program_id(0)
+    d2 = d * d
+
+    @pl.when(n == 0)
+    def _():
+        psir_ref[...] = psi0r_ref[...]
+        psii_ref[...] = psi0i_ref[...]
+
+    hr = [h0r_ref[e][None, :] for e in range(d2)]
+    hi = [h0i_ref[e][None, :] for e in range(d2)]
+    for t in range(n_terms):
+        c = coeffs_ref[n, t]
+        hr = [x + c * opsr_ref[t, e][None, :] for e, x in enumerate(hr)]
+        hi = [x + c * opsi_ref[t, e][None, :] for e, x in enumerate(hi)]
+    # A = -i dt H
+    dt = dts_ref[n, 0]
+    ar = [dt * x for x in hi]
+    ai = [-dt * x for x in hr]
+    scale = np.float32(2.0 ** (-n_squarings))
+    ar = [scale * x for x in ar]
+    ai = [scale * x for x in ai]
+    # degree-`degree` Taylor via Paterson-Stockmeyer on row lists
+    zero = ar[0] * np.float32(0.0)
+    one = zero + np.float32(1.0)
+    ident = [one if e % (d + 1) == 0 else zero for e in range(d2)]
+    a2r, a2i = _rows_cmm(ar, ai, ar, ai, d)
+    a3r, a3i = _rows_cmm(a2r, a2i, ar, ai, d)
+    a4r, a4i = _rows_cmm(a3r, a3i, ar, ai, d)
+    pows = [(ident, [zero] * d2), (ar, ai), (a2r, a2i), (a3r, a3i)]
+    n_blocks = (degree + 1 + 3) // 4
+    er = ei = None
+    for b in reversed(range(n_blocks)):
+        blkr = [zero] * d2
+        blki = [zero] * d2
+        for r in range(4):
+            k = 4 * b + r
+            if k > degree:
+                continue
+            c = np.float32(_FACT_INV[k])
+            blkr = [x + c * y for x, y in zip(blkr, pows[r][0])]
+            blki = [x + c * y for x, y in zip(blki, pows[r][1])]
+        if er is None:
+            er, ei = blkr, blki
+        else:
+            tr, ti = _rows_cmm(a4r, a4i, er, ei, d)
+            er = [x + y for x, y in zip(blkr, tr)]
+            ei = [x + y for x, y in zip(blki, ti)]
+    for _ in range(n_squarings):
+        er, ei = _rows_cmm(er, ei, er, ei, d)
+    # psi' = E psi  (psi rows are (1, K))
+    pr = [psir_ref[m][None, :] for m in range(d)]
+    pi = [psii_ref[m][None, :] for m in range(d)]
+    for i in range(d):
+        vr = zero
+        vi = zero
+        for m in range(d):
+            vr = vr + er[i * d + m] * pr[m] - ei[i * d + m] * pi[m]
+            vi = vi + er[i * d + m] * pi[m] + ei[i * d + m] * pr[m]
+        psir_ref[i, :] = vr[0]
+        psii_ref[i, :] = vi[0]
+        outr_ref[0, i, :] = vr[0]
+        outi_ref[0, i, :] = vi[0]
+    if with_U:
+        for e in range(d2):
+            ur_ref[0, e, :] = er[e][0]
+            ui_ref[0, e, :] = ei[e][0]
+
+
+def forward_scan_pallas_smalld(
+    H0, ops, coeffs, dts, psi0, n_squarings, degree=16, interpret=False,
+    with_propagators=False,
+):
+    """Fused forward propagation for SMALL-dim ensembles (d ≤ ~4,
+    per-trajectory generators, large K): the ensemble axis rides the VPU
+    lanes.  ``H0 (K, d, d)``, ``ops (K, T, d, d)``, ``psi0 (K, d)``
+    complex64.  Returns ``storage (N_T+1, K, d)`` (+ ``U (N_T, K, d, d)``
+    with ``with_propagators``)."""
+    K, d = psi0.shape
+    T = ops.shape[1]
+    N_T = coeffs.shape[0]
+    d2 = d * d
+    f32 = jnp.float32
+    # lane layout: (d², K) planes
+    h0 = jnp.transpose(jnp.asarray(H0), (1, 2, 0)).reshape(d2, K)
+    opsl = jnp.transpose(jnp.asarray(ops), (1, 2, 3, 0)).reshape(T, d2, K)
+    psil = jnp.transpose(jnp.asarray(psi0), (1, 0))  # (d, K)
+    h0r, h0i = jnp.real(h0).astype(f32), jnp.imag(h0).astype(f32)
+    opsr, opsi = jnp.real(opsl).astype(f32), jnp.imag(opsl).astype(f32)
+    psi0r, psi0i = jnp.real(psil).astype(f32), jnp.imag(psil).astype(f32)
+    coeffs = jnp.asarray(coeffs, dtype=f32)
+    dts2 = jnp.asarray(dts, dtype=f32).reshape(N_T, 1)
+
+    kernel = functools.partial(
+        _smalld_kernel, degree=degree, n_squarings=int(n_squarings),
+        n_terms=T, d=d, with_U=with_propagators,
+    )
+    out_specs = [
+        pl.BlockSpec((1, d, K), lambda n, *_: (n, 0, 0)),
+        pl.BlockSpec((1, d, K), lambda n, *_: (n, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((N_T, d, K), f32),
+        jax.ShapeDtypeStruct((N_T, d, K), f32),
+    ]
+    if with_propagators:
+        out_specs += [
+            pl.BlockSpec((1, d2, K), lambda n, *_: (n, 0, 0)),
+            pl.BlockSpec((1, d2, K), lambda n, *_: (n, 0, 0)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((N_T, d2, K), f32),
+            jax.ShapeDtypeStruct((N_T, d2, K), f32),
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N_T,),
+        in_specs=[
+            pl.BlockSpec((d2, K), lambda n, *_: (0, 0)),
+            pl.BlockSpec((d2, K), lambda n, *_: (0, 0)),
+            pl.BlockSpec((T, d2, K), lambda n, *_: (0, 0, 0)),
+            pl.BlockSpec((T, d2, K), lambda n, *_: (0, 0, 0)),
+            pl.BlockSpec((d, K), lambda n, *_: (0, 0)),
+            pl.BlockSpec((d, K), lambda n, *_: (0, 0)),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((d, K), f32),
+            pltpu.VMEM((d, K), f32),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(coeffs, dts2, h0r, h0i, opsr, opsi, psi0r, psi0i)
+    ys = jnp.transpose(
+        (outs[0] + 1j * outs[1]).astype(jnp.complex64), (0, 2, 1)
+    )  # (N_T, K, d)
+    storage = jnp.concatenate(
+        [jnp.asarray(psi0)[None].astype(jnp.complex64), ys], axis=0
+    )
+    if with_propagators:
+        U = jnp.transpose(
+            (outs[2] + 1j * outs[3]).astype(jnp.complex64), (0, 2, 1)
+        ).reshape(N_T, K, d, d)
         return storage, U
     return storage
 

@@ -111,3 +111,45 @@ def test_forward_scan_pallas_shared_interpret():
         psi = psi @ Un.T
         assert np.abs(np.asarray(U[n]) - Un).max() < 1e-5
         assert np.abs(np.asarray(st[n + 1]) - psi).max() < 1e-5
+
+
+def test_forward_scan_pallas_smalld_interpret():
+    """The small-dim ensemble kernel ((d², K) lane layout, per-trajectory
+    generators) matches per-step dense expm propagation — the ensemble
+    robustness-sampling pattern (reference ensemble usage per
+    `/root/reference/docs/src/tutorial.md`; ExpProp semantics,
+    `/root/reference/README.md:38`)."""
+    import scipy.linalg as sla
+
+    from grape_tpu.ops.pallas_prop import forward_scan_pallas_smalld
+
+    rng = np.random.default_rng(5)
+    K, d, T, N_T = 8, 3, 2, 4
+    H0 = rng.normal(size=(K, d, d)) + 1j * rng.normal(size=(K, d, d))
+    H0 = (0.5 * (H0 + np.conj(np.swapaxes(H0, -1, -2)))).astype(
+        np.complex64
+    )
+    ops = rng.normal(size=(K, T, d, d)) + 1j * rng.normal(size=(K, T, d, d))
+    ops = (0.5 * (ops + np.conj(np.swapaxes(ops, -1, -2)))).astype(
+        np.complex64
+    )
+    coeffs = (rng.normal(size=(N_T, T)) * 0.3).astype(np.float32)
+    dts = np.full(N_T, 0.1, dtype=np.float32)
+    psi0 = rng.normal(size=(K, d)) + 1j * rng.normal(size=(K, d))
+    psi0 = (psi0 / np.linalg.norm(psi0, axis=1, keepdims=True)).astype(
+        np.complex64
+    )
+    st, U = forward_scan_pallas_smalld(
+        H0, ops, coeffs, dts, jnp.asarray(psi0),
+        n_squarings=1, with_propagators=True, interpret=True,
+    )
+    psi = psi0.astype(np.complex128)
+    for n in range(N_T):
+        for k in range(K):
+            H = H0[k].astype(np.complex128) + np.einsum(
+                "t,tij->ij", coeffs[n], ops[k].astype(np.complex128)
+            )
+            Un = sla.expm(-1j * float(dts[n]) * H)
+            assert np.abs(np.asarray(U[n, k]) - Un).max() < 1e-5
+            psi[k] = Un @ psi[k]
+        assert np.abs(np.asarray(st[n + 1]) - psi).max() < 1e-5
