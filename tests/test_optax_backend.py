@@ -80,7 +80,17 @@ def test_optax_lbfgs_introspection_consistency():
     # NOT assert that a non-unit step occurs — whether the linesearch
     # accepts the unit step on this problem is fp-sensitive and made the
     # assertion order-dependent across the suite.)
+    moved = 0
     for alpha, ns, nu in seen:
         assert np.isfinite(alpha) and alpha > 0
+        if nu == 0.0:
+            # zero-update iteration (the zoom linesearch may fail with
+            # stepsize 0 near convergence — fp-jitter dependent); the
+            # search_direction introspection then falls back to -∇J
+            # (reference fallback, src/workspace.jl:411), so Δu = α·s
+            # does not apply
+            continue
+        moved += 1
         # Δu = α·s (up to the bound projection, inactive here)
         assert abs(nu - alpha * ns) <= 1e-9 * max(1.0, nu)
+    assert moved >= 1  # the optimizer made progress on some iteration
