@@ -137,8 +137,21 @@ def _sweep_configs():
         )
         return build_fg(cp), cp
 
+    def ensemble(K, n_steps):
+        from grape_tpu.models import transmon_ensemble_trajectories
+
+        trajs = transmon_ensemble_trajectories(K, d=3, T=20.0)
+        tlist = np.linspace(0, 20.0, n_steps + 1)
+        cp = compile_problem(
+            trajs, tlist, J_T=J_T_sm, dtype=np.complex64,
+            gradient_method="taylor",
+        )
+        return build_fg(cp), cp
+
     return [
         ("cz_optimize_iters", None, 800, 4),  # end-to-end GRAPE iters/s
+        ("ensemble1024_qutrit_taylor", lambda: ensemble(1024, 400),
+         400, 1024),  # BASELINE config 5 (small-dim lane kernel)
         ("dim100_cz_gradgen", lambda: cz(10, 800, "gradgen", "expprop"),
          800, 4),
         ("dim16_cz_taylor", lambda: cz(4, 400, "taylor", "expprop"),
