@@ -1031,6 +1031,17 @@ def _chi_trajectory(cp: CompiledProblem, storage, Us, chi_hat, safe_rho):
         w = _grid_weights(tlist_j)
 
     shared_U = Us.ndim == 3  # (N_T, d, d): one U_n for all trajectories
+    if (
+        shared_U and cp.xi is None and cp.psi0.dtype == np.complex64
+        and jax.devices()[0].platform == "tpu"
+    ):
+        # fused χ-chain kernel: carries χ in VMEM with one Karatsuba
+        # (K, d)·(d, d) product per grid step (measured: modest ~1.3 ms
+        # end-to-end win on the CZ headline — XLA already overlaps the
+        # scan well inside the full program — but exact and dispatch-free)
+        from .ops.pallas_prop import chi_scan_pallas_shared
+
+        return chi_scan_pallas_shared(Us, chi_hat)
 
     def chi_body(chi, n):
         chi_in = chi  # χ(t_{n+1}) — what step n's recursion consumes

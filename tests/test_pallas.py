@@ -153,3 +153,31 @@ def test_forward_scan_pallas_smalld_interpret():
             assert np.abs(np.asarray(U[n, k]) - Un).max() < 1e-5
             psi[k] = Un @ psi[k]
         assert np.abs(np.asarray(st[n + 1]) - psi).max() < 1e-5
+
+
+def test_chi_scan_pallas_shared_interpret():
+    """The fused χ-chain kernel reproduces the sequential adjoint
+    propagation χ(t_n) = U_n†χ(t_{n+1}) with stored shared propagators
+    (the backward co-state loop of `/root/reference/src/optimize.jl:920-922`
+    with the exact-adjoint reuse identity)."""
+    from grape_tpu.ops.pallas_prop import chi_scan_pallas_shared
+
+    rng = np.random.default_rng(3)
+    N_T, K, d = 7, 4, 8
+    Us = (
+        (rng.normal(size=(N_T, d, d)) + 1j * rng.normal(size=(N_T, d, d)))
+        / np.sqrt(2 * d)
+    ).astype(np.complex64)
+    chi = (rng.normal(size=(K, d)) + 1j * rng.normal(size=(K, d))).astype(
+        np.complex64
+    )
+    got = np.asarray(
+        chi_scan_pallas_shared(jnp.asarray(Us), jnp.asarray(chi),
+                               interpret=True)
+    )
+    c = chi.astype(np.complex128)
+    ref = np.zeros((N_T, K, d), complex)
+    for n in range(N_T - 1, -1, -1):
+        ref[n] = c
+        c = c @ np.conj(Us[n])
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-6
