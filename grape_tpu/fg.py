@@ -825,6 +825,8 @@ def _pallas_forward_enabled(cp: CompiledProblem, pds):
     pd_fw = pds["fw"] if isinstance(pds, dict) and "fw" in pds else pds
     if cp.use_pallas is False or pd_fw is not None:
         return False
+    if not _unsharded_host_problem(cp):
+        return False
     if cp.use_pallas == "auto" and cp.dim < 32:
         return False
     if cp.storage_mode == "recompute":
@@ -839,6 +841,34 @@ def _pallas_forward_enabled(cp: CompiledProblem, pds):
     return bool(cp.use_pallas)
 
 
+def _unsharded_host_problem(cp: CompiledProblem):
+    """True when the problem arrays are host numpy (single-device build).
+    Sharded problems (``shard_problem`` device_puts the arrays) must stay
+    on pure-XLA paths: a Mosaic custom call has no SPMD partitioning
+    rule, so the GSPMD partitioner would replicate or fail on it."""
+    return isinstance(cp.psi0, np.ndarray)
+
+
+def _pallas_chi_enabled(cp: CompiledProblem):
+    """Fused χ-chain kernel gate (shared stored propagators): honors the
+    ``use_pallas=False`` opt-out, excludes sharded/SPMD builds and the ξ
+    inhomogeneity (host-side injection), and bounds the VMEM carry."""
+    if cp.use_pallas is False:
+        return False
+    if not _unsharded_host_problem(cp):
+        return False
+    if cp.xi is not None:
+        return False
+    if cp.psi0.dtype != np.complex64:
+        return False
+    # VMEM guard: 2 x (K, d) f32 scratch + resident chi0/out blocks
+    if cp.n_traj * cp.dim * 8 > 4 * 1024**2:
+        return False
+    import jax as _jax
+
+    return _jax.devices()[0].platform == "tpu"
+
+
 def _pallas_smalld_enabled(cp: CompiledProblem, pds):
     """Small-dim ensemble Pallas kernel: per-trajectory generators at
     d ≤ 4 with a large ensemble — the (d², K) lane layout turns each tiny
@@ -847,6 +877,8 @@ def _pallas_smalld_enabled(cp: CompiledProblem, pds):
     (measured: the K=1024 qutrit forward dominates the fg evaluation)."""
     pd_fw = pds["fw"] if isinstance(pds, dict) and "fw" in pds else pds
     if cp.use_pallas is False or pd_fw is not None:
+        return False
+    if not _unsharded_host_problem(cp):
         return False
     if cp.shared_generator or cp.dim > 4 or cp.n_traj < 128:
         return False
@@ -1031,10 +1063,7 @@ def _chi_trajectory(cp: CompiledProblem, storage, Us, chi_hat, safe_rho):
         w = _grid_weights(tlist_j)
 
     shared_U = Us.ndim == 3  # (N_T, d, d): one U_n for all trajectories
-    if (
-        shared_U and cp.xi is None and cp.psi0.dtype == np.complex64
-        and jax.devices()[0].platform == "tpu"
-    ):
+    if shared_U and _pallas_chi_enabled(cp):
         # fused χ-chain kernel: carries χ in VMEM with one Karatsuba
         # (K, d)·(d, d) product per grid step (measured: modest ~1.3 ms
         # end-to-end win on the CZ headline — XLA already overlaps the
