@@ -276,15 +276,20 @@ def main():
     steps_per_s = N_STEPS * K_TRAJ / dt_accel
     headline_flops = _flops_estimate(fg, x)
 
-    # ---- CPU float64 reference proxy ------------------------------------
-    cpu = jax.devices("cpu")[0]
-    n_cpu = 25
-    jax.config.update("jax_enable_x64", True)  # true f64 on the CPU side
-    with jax.default_device(cpu):
-        fg_c, cp_c = _build_cz(n_cpu, dtype=np.complex128)
-        dt_cpu = _time_fg(fg_c, cp_c.guess_pulsevals.reshape(-1), n_iter=2)
-    cpu_steps_per_s = n_cpu * K_TRAJ / dt_cpu
-    vs_baseline = steps_per_s / cpu_steps_per_s
+    # ---- CPU float64 reference proxy (never kills the headline) ---------
+    try:
+        cpu = jax.devices("cpu")[0]
+        n_cpu = 25
+        jax.config.update("jax_enable_x64", True)  # true f64 on CPU
+        with jax.default_device(cpu):
+            fg_c, cp_c = _build_cz(n_cpu, dtype=np.complex128)
+            dt_cpu = _time_fg(
+                fg_c, cp_c.guess_pulsevals.reshape(-1), n_iter=2
+            )
+        cpu_steps_per_s = n_cpu * K_TRAJ / dt_cpu
+        vs_baseline = round(steps_per_s / cpu_steps_per_s, 2)
+    except Exception:
+        vs_baseline = None
 
     # ---- dim sweep (killable subprocesses, hard budget) ------------------
     sweep = _run_sweep()
@@ -296,7 +301,7 @@ def main():
         ),
         "value": round(steps_per_s, 1),
         "unit": "traj-steps/s",
-        "vs_baseline": round(vs_baseline, 2),
+        "vs_baseline": vs_baseline,
         "sweep": sweep,
     }
     if headline_flops and peak:
