@@ -13,7 +13,9 @@ Public API (reference ``src/GRAPE.jl:13-17`` / ``docs/src/api.md``):
 and functionals library.
 """
 
-from .amplitudes import ComplexAmplitude, LockedAmplitude, ShapedAmplitude
+from .amplitudes import (
+    ComplexAmplitude, CustomAmplitude, LockedAmplitude, ShapedAmplitude,
+)
 from .controls import discretize, discretize_on_midpoints, get_controls
 from .generators import Generator, align_generators, hamiltonian, liouvillian
 from .info_table import make_grape_print_iters
@@ -36,7 +38,8 @@ __all__ = [
     "optimize", "optimize_problem", "GrapeResult", "Trajectory",
     "ControlProblem", "hamiltonian", "liouvillian", "Generator",
     "align_generators", "ShapedAmplitude", "LockedAmplitude",
-    "ComplexAmplitude", "discretize", "discretize_on_midpoints",
+    "ComplexAmplitude", "CustomAmplitude",
+    "discretize", "discretize_on_midpoints",
     "get_controls", "functionals", "shapes", "propagate", "substitute",
     "save_result", "load_result", "optimize_or_load", "load_optimization",
     "check_state", "check_generator", "check_problem",

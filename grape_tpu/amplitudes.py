@@ -17,7 +17,10 @@ import numpy as np
 
 from .controls import discretize_on_midpoints
 
-__all__ = ["ShapedAmplitude", "LockedAmplitude", "ComplexAmplitude"]
+__all__ = [
+    "ShapedAmplitude", "LockedAmplitude", "ComplexAmplitude",
+    "CustomAmplitude",
+]
 
 
 class LockedAmplitude:
@@ -57,6 +60,59 @@ class ShapedAmplitude:
     def compile(self, tlist):
         """Static per-interval shape values ``(N_T,)``."""
         return discretize_on_midpoints(self.shape, tlist)
+
+
+class CustomAmplitude:
+    """General (nonlinear) amplitude ``a(ε, t)``.
+
+    The reference evaluates control-derivative operators per step with the
+    current pulse values (``get_control_derivs`` at
+    ``/root/reference/src/workspace.jl:285-286``, consumed with
+    ``evaluate(μ; vals_dict)`` at ``src/optimize.jl:946-957``), so
+    amplitudes may depend nonlinearly on the control — e.g. ``a = ε²`` or
+    trig-bounded parametrizations ``a = A·sin(ε)``.  This class is the
+    TPU-native counterpart: the coefficient and its control derivative
+    become traced per-interval functions of the pulse values, evaluated
+    inside the jitted program (gradients pick up the chain-rule factor
+    ``∂a/∂ε`` exactly).
+
+    Parameters
+    ----------
+    func:
+        ``func(vals, t) -> coefficient`` — jax-traceable, real-valued.
+        ``vals`` is the ``(n,)`` vector of this amplitude's control values
+        at time ``t`` (a scalar for a single control works via ``vals[0]``).
+    controls:
+        The underlying control(s) — a single control or a tuple.
+    deriv:
+        Optional ``deriv(vals, t) -> (n,)`` gradient ``∂a/∂ε``; defaults
+        to forward-mode AD (``jax.jacfwd``) of ``func``.
+    bound:
+        Optional host-side envelope callback
+        ``bound(amp_max (n,)) -> (max_abs_a, max_abs_da (n,))`` giving the
+        maximum of ``|a|`` and ``|∂a/∂ε_i|`` over the pulse box
+        ``|ε_i| ≤ amp_max_i`` (all t).  Without it the envelope is
+        estimated by sampling the box (with a safety margin); supply an
+        analytic bound for amplitudes whose extrema a coarse grid could
+        miss.
+    """
+
+    def __init__(self, func, controls, deriv=None, bound=None):
+        self.func = func
+        if isinstance(controls, (tuple, list)):
+            self.controls = tuple(controls)
+        else:
+            self.controls = (controls,)
+        if not self.controls:
+            raise ValueError(
+                "CustomAmplitude needs at least one control (use "
+                "LockedAmplitude for fixed time-dependent coefficients)"
+            )
+        self.deriv = deriv
+        self.bound = bound
+
+    def get_controls(self):
+        return self.controls
 
 
 class ComplexAmplitude:

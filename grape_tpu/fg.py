@@ -62,7 +62,9 @@ class CompiledProblem:
     H0: Any            # (K, d, d) complex
     ops: Any           # (K, T, d, d) complex control-term operators
     M: Any             # (N_T, T, L) real: coeffs_n = M[n] @ eps_n
+                       # ((K, N_T, T, L) when per_traj_coeffs)
     Mfix: Any          # (N_T, T) real: fixed (locked-amplitude) coefficients
+                       # ((K, N_T, T) when per_traj_coeffs)
     tlist: Any         # (N_T+1,) real
     trajectories: list
     controls: tuple
@@ -112,6 +114,20 @@ class CompiledProblem:
     # never needs device->host transfers once the arrays are sharded):
     # {"h0": ||H0||_1 max over k, "ops": (T,) per-term ||Op_j||_1 max over k}
     norm_cache: Any = None
+    # general (nonlinear) amplitude protocol — reference get_control_derivs
+    # (src/workspace.jl:285-286) / per-step evaluate (src/optimize.jl:946-957):
+    # ((j, CustomAmplitude, ctl_indices), ...); the per-interval coefficient
+    # and ∂a/∂ε tables become traced functions of the pulse (_coeff_tables)
+    custom_terms: tuple = ()
+    # heterogeneous ensembles whose members share the control coupling
+    # structure but differ in amplitude SHAPES: M/Mfix carry a leading
+    # per-trajectory K axis (reference: each trajectory owns its
+    # propagators, src/workspace.jl:221-233)
+    per_traj_coeffs: bool = False
+    # memo for the host-side coefficient envelope (keyed by amp_max):
+    # CustomAmplitude envelopes are SAMPLED — the memo keeps that out of
+    # traced program bodies (build_f/build_fg pre-warm it)
+    env_cache: Any = field(default_factory=dict)
 
     @property
     def dt(self):
@@ -182,17 +198,19 @@ def compile_problem(
         jnp.result_type(float)
     )
 
-    # All generators must share the same term structure (vmap constraint of
-    # the batched design; heterogeneous structures can be padded with zero
-    # operators).
+    # Heterogeneous ensembles: the batched design needs slot-aligned term
+    # lists (same count, same control coupling per slot).  Generators that
+    # differ structurally — e.g. a robustness ensemble where only some
+    # members carry a crosstalk drive — are auto-aligned to the union of
+    # their amplitudes with zero-operator padding (the reference accepts
+    # arbitrary per-trajectory generators because each trajectory owns its
+    # propagators, /root/reference/src/workspace.jl:221-233).
+    from .generators import align_generators
+
+    if not _slots_aligned(generators, controls):
+        generators = align_generators(generators)
     n_terms = len(generators[0].terms)
     dim = generators[0].dim
-    for g in generators:
-        if len(g.terms) != n_terms or g.dim != dim:
-            raise ValueError(
-                "all trajectories must share generator structure "
-                "(same number of control terms and dimension)"
-            )
 
     H0 = np.stack([g.drift for g in generators]).astype(cdtype)
     if n_terms > 0:
@@ -201,33 +219,34 @@ def compile_problem(
         ).astype(cdtype)  # (K, T, d, d)
     else:
         ops = np.zeros((K, 0, dim, dim), dtype=cdtype)
-    # gate-optimization detection: one generator, K basis states — then
-    # U_n is shared across trajectories and the propagator work drops K-fold
-    shared_generator = all(g is generators[0] for g in generators) or (
-        bool(np.all(H0 == H0[:1])) and bool(np.all(ops == ops[:1]))
-    )
 
     # Coefficient tensor M (N_T, T, L): term j couples to control l_j with
     # per-interval weight shape_j[n].  Locked terms (no control) contribute
-    # through the fixed-coefficient table Mfix instead.
+    # through the fixed-coefficient table Mfix instead.  When trajectories
+    # use per-trajectory amplitude SHAPES (same control, different static
+    # weight), M/Mfix grow a leading K axis instead of blowing up the
+    # operator array through union-padding.
     g0 = generators[0]
-    M, Mfix = g0.coefficient_tables(tlist, controls)
-    shapes = g0.term_shapes(tlist)
     ctl_idx = g0.term_control_indices(controls)
-    # check structural agreement across trajectories
-    for g in generators[1:]:
-        if g.term_control_indices(controls) != ctl_idx:
-            raise ValueError(
-                "all trajectories must couple terms to the same controls"
-            )
-        other_shapes = g.term_shapes(tlist)
-        for j in range(n_terms):
-            if not np.allclose(other_shapes[j], shapes[j]):
-                raise ValueError(
-                    "all trajectories must use the same amplitude shapes "
-                    f"(term {j} differs); encode per-trajectory variations "
-                    "in the operators instead"
-                )
+    coeff_tables = [g.coefficient_tables(tlist, controls)
+                    for g in generators]
+    M, Mfix = coeff_tables[0]
+    per_traj_coeffs = any(
+        not (np.array_equal(Mk, M) and np.array_equal(Mfk, Mfix))
+        for (Mk, Mfk) in coeff_tables[1:]
+    )
+    if per_traj_coeffs:
+        M = np.stack([Mk for (Mk, _) in coeff_tables])      # (K, N_T, T, L)
+        Mfix = np.stack([Mfk for (_, Mfk) in coeff_tables])  # (K, N_T, T)
+    # nonlinear amplitude slots (identical across k after alignment)
+    custom_terms = tuple(g0.custom_terms(controls))
+
+    # gate-optimization detection: one generator, K basis states — then
+    # U_n is shared across trajectories and the propagator work drops K-fold
+    shared_generator = not per_traj_coeffs and (
+        all(g is generators[0] for g in generators)
+        or (bool(np.all(H0 == H0[:1])) and bool(np.all(ops == ops[:1])))
+    )
 
     psi0 = np.stack([t.initial_state for t in trajectories]).astype(cdtype)
     has_targets = all(t.target_state is not None for t in trajectories)
@@ -302,6 +321,8 @@ def compile_problem(
         newton_m=int(newton_m),
         newton_substeps=int(newton_substeps),
         ctl_idx=tuple(ctl_idx),
+        custom_terms=custom_terms,
+        per_traj_coeffs=per_traj_coeffs,
         reuse_propagators=reuse_propagators,
         vectorize_backward=bool(vectorize_backward),
         fw_prop_callback=_check_fw_prop_callback(
@@ -360,6 +381,177 @@ def _make_norm_cache(H0, ops, with_spectral=False):
 
 
 
+def _slots_aligned(generators, controls):
+    """True when all generators share a slot-aligned term structure: same
+    dimension, same term count, slot-wise the same control coupling, and
+    slot-wise the SAME object for nonlinear (CustomAmplitude) slots.
+    Linear slots may differ in amplitude shape/operator across
+    trajectories (handled by per-trajectory coefficient tables)."""
+    from .amplitudes import CustomAmplitude
+
+    g0 = generators[0]
+    idx0 = g0.term_control_indices(controls)
+    for g in generators[1:]:
+        if g.dim != g0.dim or len(g.terms) != len(g0.terms):
+            return False
+        if g.term_control_indices(controls) != idx0:
+            return False
+        for (_, a), (_, a0) in zip(g.terms, g0.terms):
+            c, c0 = (
+                isinstance(a, CustomAmplitude),
+                isinstance(a0, CustomAmplitude),
+            )
+            if c != c0 or (c and a is not a0):
+                return False
+    return True
+
+
+def _coeff_tables(cp: CompiledProblem, eps):
+    """Per-interval term coefficients and their control derivatives for
+    the CURRENT pulse values ``eps (L, N_T)``:
+
+        ``(coeffs_all, dM)`` with shapes ``(N_T, T)`` / ``(N_T, T, L)``
+        (leading ``K`` axis when ``cp.per_traj_coeffs``).
+
+    For linear amplitudes these are the static tables ``M @ ε + Mfix`` /
+    ``M``; ``CustomAmplitude`` slots are traced per-step evaluations of
+    ``a(ε_n, t_n)`` and the chain-rule factor ``∂a/∂ε`` (the reference's
+    per-step ``evaluate(μ; vals_dict)``, ``src/optimize.jl:946-957``)."""
+    M_ = jnp.asarray(cp.M)
+    Mfix_ = jnp.asarray(cp.Mfix)
+    if cp.per_traj_coeffs:
+        coeffs = jnp.einsum("kntl,ln->knt", M_, eps) + Mfix_
+    else:
+        coeffs = jnp.einsum("ntl,ln->nt", M_, eps) + Mfix_
+    dM = M_
+    if not cp.custom_terms:
+        return coeffs, dM
+    tl = jnp.asarray(cp.tlist)
+    # interval times: midpoints, except t=0 / t=T for the first / last
+    # interval (reference convention, docs/src/background.md; same as
+    # discretize_on_midpoints)
+    tmid = (0.5 * (tl[:-1] + tl[1:])).at[0].set(tl[0]).at[-1].set(tl[-1])
+    tmid = tmid.astype(eps.dtype)
+    for j, amp, idxs in cp.custom_terms:
+        vals = eps[jnp.asarray(idxs), :]  # (n_j, N_T)
+        aj = jax.vmap(amp.func, in_axes=(1, 0))(vals, tmid)  # (N_T,)
+        aj = jnp.reshape(aj, (cp.n_timesteps,)).astype(coeffs.dtype)
+        dfun = amp.deriv
+        if dfun is None:
+            dfun = jax.jacfwd(amp.func, argnums=0)
+        dj = jax.vmap(dfun, in_axes=(1, 0))(vals, tmid)
+        dj = jnp.reshape(dj, (cp.n_timesteps, len(idxs))).astype(dM.dtype)
+        if cp.per_traj_coeffs:
+            coeffs = coeffs.at[:, :, j].set(aj[None, :])
+            dM = dM.at[:, :, j, jnp.asarray(idxs)].set(dj[None])
+        else:
+            coeffs = coeffs.at[:, j].set(aj)
+            dM = dM.at[:, j, jnp.asarray(idxs)].set(dj)
+    return coeffs, dM
+
+
+def _coeff_env(cp: CompiledProblem, amp_max):
+    """Host-side envelope of the per-interval coefficients and their
+    control derivatives over the pulse box ``|ε_l| ≤ amp_max_l``:
+    ``(cmax (T,), dmax (T, L))`` numpy.  Feeds every static-envelope
+    quantity (Chebyshev spectral range, Taylor order, squaring counts).
+    Memoized per ``amp_max``: CustomAmplitude envelopes are sampled with
+    eager jax calls, which must never run inside a traced program body —
+    ``build_f``/``build_fg`` pre-warm the memo at build time."""
+    amp_max = np.asarray(amp_max, dtype=np.float64)
+    key = tuple(amp_max.ravel().tolist())
+    if key in cp.env_cache:
+        return cp.env_cache[key]
+    absM = np.abs(np.asarray(cp.M))
+    absMfix = np.abs(np.asarray(cp.Mfix))
+    if cp.per_traj_coeffs:
+        cmax = (
+            np.einsum("kntl,l->knt", absM, amp_max) + absMfix
+        ).max(axis=(0, 1))
+        dmax = absM.max(axis=(0, 1))
+    else:
+        cmax = (np.einsum("ntl,l->nt", absM, amp_max) + absMfix).max(axis=0)
+        dmax = absM.max(axis=0)
+    for j, amp, idxs in cp.custom_terms:
+        sub = amp_max[list(idxs)]
+        if amp.bound is not None:
+            ca, da = amp.bound(sub)
+        else:
+            ca, da = _sample_amp_env(amp, sub, np.asarray(cp.tlist))
+        cmax[j] = float(ca)
+        dmax[j, :] = 0.0
+        dmax[j, list(idxs)] = np.asarray(
+            da, dtype=np.float64
+        ).reshape(-1)
+    cp.env_cache[key] = (cmax, dmax)
+    return cmax, dmax
+
+
+def _warm_env_cache(cp: CompiledProblem, amp_max=None):
+    """Pre-compute the coefficient envelopes a program build will need,
+    OUTSIDE any trace (CustomAmplitude envelope sampling runs eager jax)."""
+    if not cp.custom_terms:
+        return
+    _coeff_env(cp, 2.0 * _default_amp_max(cp))
+    if amp_max is not None:
+        _coeff_env(cp, np.asarray(amp_max, dtype=np.float64))
+
+
+def _sample_amp_env(amp, amp_max, tlist, margin=1.25):
+    """Envelope of ``|a|`` and ``|∂a/∂ε|`` for a CustomAmplitude by
+    sampling the pulse box (×``margin`` safety factor; an envelope
+    over-estimate only costs extra Taylor orders/squarings and stays
+    mathematically exact).  Supply ``CustomAmplitude(bound=...)`` for an
+    analytic envelope when extrema could fall between samples."""
+    import itertools
+
+    n = len(amp_max)
+    amp_max = np.maximum(np.asarray(amp_max, dtype=np.float64), 1e-12)
+    if n <= 2:
+        axes = [np.linspace(-a, a, 17) for a in amp_max]
+        pts = np.array(list(itertools.product(*axes)))
+    else:
+        rng = np.random.default_rng(0)
+        pts = np.concatenate([
+            rng.uniform(-1.0, 1.0, size=(256, n)) * amp_max,
+            np.where(rng.uniform(size=(64, n)) < 0.5, -1.0, 1.0) * amp_max,
+            np.diag(amp_max),
+            -np.diag(amp_max),
+            np.zeros((1, n)),
+        ])
+    from .controls import midpoints
+
+    tmid = midpoints(tlist)
+    if len(tmid) > 33:
+        tmid = tmid[np.linspace(0, len(tmid) - 1, 33).astype(int)]
+    dfun = amp.deriv
+    if dfun is None:
+        dfun = jax.jacfwd(amp.func, argnums=0)
+    # evaluate on the host CPU backend: eager jnp ops on the accelerator
+    # platform are unimplemented for some scalar/host inputs
+    try:
+        import contextlib
+
+        cpu = jax.devices("cpu")[0]
+        ctx = jax.default_device(cpu)
+    except Exception:  # pragma: no cover - cpu backend always present
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        fv = jax.vmap(
+            jax.vmap(amp.func, in_axes=(0, None)), in_axes=(None, 0)
+        )
+        dv = jax.vmap(
+            jax.vmap(dfun, in_axes=(0, None)), in_axes=(None, 0)
+        )
+        av = np.asarray(fv(pts, tmid))          # (n_t, n_pts)
+        gv = np.abs(np.asarray(dv(pts, tmid)))  # (n_t, n_pts, n)
+    ca = float(np.max(np.abs(av)))
+    da = gv.reshape(-1, n).max(axis=0)
+    return margin * ca, margin * da
+
+
 def _check_fw_prop_callback(fw_prop_callback, storage_mode):
     if fw_prop_callback is not None and storage_mode == "recompute":
         raise ValueError(
@@ -407,13 +599,20 @@ def unpack_complex(arr):
     return arr[0] + 1j * arr[1]
 
 
-def _step_ops(cp: CompiledProblem, n, eps_n, cdtype):
-    """(H_n (K,d,d), mu_n (K,L,d,d)) for time interval index ``n``."""
-    Mn = jnp.asarray(cp.M)[n]  # (T, L)
+def _step_ops(cp: CompiledProblem, n, tables, cdtype):
+    """(H_n (K,d,d), mu_n (K,L,d,d)) for time interval index ``n`` from
+    the per-evaluation coefficient tables (see ``_coeff_tables``)."""
+    coeffs_all, dM = tables
     ops_ = jnp.asarray(cp.ops)
-    coeffs = (Mn @ eps_n + jnp.asarray(cp.Mfix)[n]).astype(cdtype)  # (T,)
-    H = jnp.asarray(cp.H0) + jnp.einsum("t,ktij->kij", coeffs, ops_)
-    mu = jnp.einsum("tl,ktij->klij", Mn.astype(cdtype), ops_)
+    H0_ = jnp.asarray(cp.H0)
+    if cp.per_traj_coeffs:
+        c = coeffs_all[:, n].astype(cdtype)  # (K, T)
+        H = H0_ + jnp.einsum("kt,ktij->kij", c, ops_)
+        mu = jnp.einsum("ktl,ktij->klij", dM[:, n].astype(cdtype), ops_)
+    else:
+        c = coeffs_all[n].astype(cdtype)  # (T,)
+        H = H0_ + jnp.einsum("t,ktij->kij", c, ops_)
+        mu = jnp.einsum("tl,ktij->klij", dM[n].astype(cdtype), ops_)
     return H, mu
 
 
@@ -443,11 +642,7 @@ def _cheby_data(cp: CompiledProblem, amp_max):
     import numpy as _np
 
     amp_max = _np.asarray(amp_max, dtype=_np.float64)
-    M = _np.asarray(cp.M)  # (N_T, T, L)
-    cmax = (
-        _np.einsum("ntl,l->nt", _np.abs(M), amp_max)
-        + _np.abs(_np.asarray(cp.Mfix))
-    ).max(axis=0)  # (T,)
+    cmax, _ = _coeff_env(cp, amp_max)  # (T,)
     spec = (cp.norm_cache or {}).get("spec")
     if spec is not None:
         # compile-time spectral cache: no device read-back needed once the
@@ -550,7 +745,7 @@ def _pick_segments(storage_mode, storage_segments, N_T):
     return min(divisors, key=lambda s: abs(s - target))
 
 
-def _make_fwd_step(cp: CompiledProblem, pds, eps, with_U=False):
+def _make_fwd_step(cp: CompiledProblem, pds, tables, with_U=False):
     """One forward step ``psi -> U_n psi`` as a traced closure.
 
     With ``with_U`` (ExpProp only), the closure returns ``(psi_new, U_n)``
@@ -559,25 +754,29 @@ def _make_fwd_step(cp: CompiledProblem, pds, eps, with_U=False):
     (``expm(+i dt H†) ≡ expm(-i dt H)†``)."""
     pd = pds["fw"] if isinstance(pds, dict) and "fw" in pds else pds
     cdtype = cp.psi0.dtype
-    M_ = jnp.asarray(cp.M)
+    coeffs_all = tables[0]
     H0_ = jnp.asarray(cp.H0)
     ops_ = jnp.asarray(cp.ops)
     dt = jnp.diff(jnp.asarray(cp.tlist))
 
-    Mfix_ = jnp.asarray(cp.Mfix)
     if with_U and pd is not None:
         raise ValueError("with_U requires the ExpProp forward propagator")
 
     shared = cp.shared_generator
 
     def step(psi, n):
-        coeffs = (M_[n] @ eps[:, n] + Mfix_[n]).astype(cdtype)
-        if shared:
+        if cp.per_traj_coeffs:
+            c = coeffs_all[:, n].astype(cdtype)  # (K, T)
+            H = H0_ + jnp.einsum("kt,ktij->kij", c, ops_)
+            mv = "kij,kj->ki"
+        elif shared:
             # one generator for all K trajectories (gate optimization):
             # one expm per step, applied to the (K, d) state block
+            coeffs = coeffs_all[n].astype(cdtype)
             H = H0_[0] + jnp.einsum("t,tij->ij", coeffs, ops_[0])
             mv = "ij,kj->ki"
         else:
+            coeffs = coeffs_all[n].astype(cdtype)
             H = H0_ + jnp.einsum("t,ktij->kij", coeffs, ops_)
             mv = "kij,kj->ki"
         if pd is None:
@@ -632,7 +831,8 @@ def _apply_bw_prop(cp: CompiledProblem, pd_bw, Hd, chi, dt_n, n, U_n=None):
     )
 
 
-def _make_bw_step(cp: CompiledProblem, pds, eps, rho, safe_rho):
+def _make_bw_step(cp: CompiledProblem, pds, tables, rho, safe_rho,
+                  amp_max=None):
     """One backward gradient step as a traced closure:
     ``(chi, n, psi_at_tn) -> (chi_new, grad_n)``.
 
@@ -645,10 +845,12 @@ def _make_bw_step(cp: CompiledProblem, pds, eps, rho, safe_rho):
     rdtype = cp.tlist.dtype
     use_taylor = cp.gradient_method == "taylor"
     dt = jnp.diff(jnp.asarray(cp.tlist))
-    h_scale = max(_h_norm_bound(cp), 1e-30) if use_taylor else None
+    h_scale = (
+        max(_h_norm_bound(cp, amp_max), 1e-30) if use_taylor else None
+    )
 
     def bw_step(chi, n, psi_prev, U_n=None):
-        H, mu = _step_ops(cp, n, eps[:, n], cdtype)
+        H, mu = _step_ops(cp, n, tables, cdtype)
         Hd = jnp.conj(jnp.swapaxes(H, -1, -2))
         mud = jnp.conj(jnp.swapaxes(mu, -1, -2))
         ndt = -dt[n].astype(rdtype)
@@ -740,7 +942,7 @@ def _make_bw_step(cp: CompiledProblem, pds, eps, rho, safe_rho):
     return bw_step
 
 
-def _forward(cp: CompiledProblem, pulsevals, pds=None, with_U=False):
+def _forward(cp: CompiledProblem, tables, pds=None, with_U=False):
     """Forward propagation storing all states.
 
     Returns ``storage (N_T+1, K, d)`` — the reference's per-trajectory
@@ -756,10 +958,7 @@ def _forward(cp: CompiledProblem, pulsevals, pds=None, with_U=False):
     local; so the per-step form below is deliberate.
     """
     psi0_ = jnp.asarray(cp.psi0)
-    eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps)).astype(
-        cp.tlist.dtype
-    )
-    fwd_step = _make_fwd_step(cp, pds, eps, with_U=with_U)
+    fwd_step = _make_fwd_step(cp, pds, tables, with_U=with_U)
 
     if with_U:
         def step_u(psi, n):
@@ -827,6 +1026,9 @@ def _pallas_forward_enabled(cp: CompiledProblem, pds):
         return False
     if not _unsharded_host_problem(cp):
         return False
+    if cp.per_traj_coeffs:
+        # the kernels consume one shared (N_T, T) coefficient table
+        return False
     if cp.use_pallas == "auto" and cp.dim < 32:
         return False
     if cp.storage_mode == "recompute":
@@ -880,6 +1082,8 @@ def _pallas_smalld_enabled(cp: CompiledProblem, pds):
         return False
     if not _unsharded_host_problem(cp):
         return False
+    if cp.per_traj_coeffs:
+        return False
     if cp.shared_generator or cp.dim > 4 or cp.n_traj < 128:
         return False
     if cp.storage_mode == "recompute":
@@ -896,11 +1100,7 @@ def _h_norm_bound(cp: CompiledProblem, amp_max=None):
     ``||H0||_1 + sum_j cmax_j ||Op_j||_1``."""
     if amp_max is None:
         amp_max = 2.0 * _default_amp_max(cp)
-    M = np.asarray(cp.M)
-    cmax = (
-        np.einsum("ntl,l->nt", np.abs(M), np.asarray(amp_max))
-        + np.abs(np.asarray(cp.Mfix))
-    ).max(axis=0)
+    cmax, _ = _coeff_env(cp, amp_max)
     h0n, opn = _op_norms(cp)
     coupling = float(np.dot(cmax, opn)) if len(opn) else 0.0
     return h0n + coupling
@@ -926,14 +1126,17 @@ def _op_norms(cp: CompiledProblem):
     return h0n, opn
 
 
-def _mu_norm_bound(cp: CompiledProblem):
+def _mu_norm_bound(cp: CompiledProblem, amp_max=None):
     """Host-side bound on ``max_{n,l,k} ‖μ_knl‖_1`` with
-    ``μ_nl = Σ_j M[n,j,l]·Op_j`` (pulse-amplitude independent)."""
-    M = np.asarray(cp.M)  # (N_T, T, L)
-    if M.shape[1] == 0 or M.shape[2] == 0:
+    ``μ_nl = Σ_j (∂a_j/∂ε_l)·Op_j`` over the pulse envelope (for linear
+    amplitudes ``∂a_j/∂ε_l = M[n,j,l]``, amplitude-independent)."""
+    if np.asarray(cp.M).shape[-2] == 0 or cp.n_controls == 0:
         return 0.0
+    if amp_max is None:
+        amp_max = 2.0 * _default_amp_max(cp)
+    _, dmax = _coeff_env(cp, amp_max)  # (T, L)
     _, opn = _op_norms(cp)
-    return float(np.einsum("ntl,t->nl", np.abs(M), opn).max())
+    return float(np.einsum("tl,t->l", dmax, opn).max())
 
 
 def _pallas_norm_bound(cp: CompiledProblem, amp_max=None):
@@ -945,7 +1148,10 @@ def _pallas_norm_bound(cp: CompiledProblem, amp_max=None):
 def _taylor_prefactor(cp: CompiledProblem, amp_max=None):
     """``‖μ‖/‖H‖`` prefactor for the static Taylor-order bound (see
     ``taylor_order_for_bound``)."""
-    return _mu_norm_bound(cp) / max(_h_norm_bound(cp, amp_max), 1e-30)
+    return (
+        _mu_norm_bound(cp, amp_max)
+        / max(_h_norm_bound(cp, amp_max), 1e-30)
+    )
 
 
 def _pallas_squarings(cp: CompiledProblem, amp_max=None):
@@ -1091,7 +1297,7 @@ def _chi_trajectory(cp: CompiledProblem, storage, Us, chi_hat, safe_rho):
     return chis_rev[::-1]  # (N_T, K, d): χ(t_{n+1}) for each step n
 
 
-def _chi_prop_scan(cp: CompiledProblem, pds, eps, storage, chi_hat,
+def _chi_prop_scan(cp: CompiledProblem, pds, tables, storage, chi_hat,
                    safe_rho):
     """Phase A without stored propagators: the normalized co-state
     trajectory via per-step backward propagation (adjoint ExpProp /
@@ -1104,20 +1310,23 @@ def _chi_prop_scan(cp: CompiledProblem, pds, eps, storage, chi_hat,
     cdtype = cp.psi0.dtype
     tlist_j = jnp.asarray(cp.tlist)
     dt = jnp.diff(tlist_j)
-    M_ = jnp.asarray(cp.M)
+    coeffs_all = tables[0]
     H0_ = jnp.asarray(cp.H0)
     ops_ = jnp.asarray(cp.ops)
-    Mfix_ = jnp.asarray(cp.Mfix)
     shared = cp.shared_generator
     if cp.xi is not None:
         w = _grid_weights(tlist_j)
 
     def body(chi, n):
         chi_in = chi  # χ(t_{n+1})
-        coeffs = (M_[n] @ eps[:, n] + Mfix_[n]).astype(cdtype)
-        if shared:
+        if cp.per_traj_coeffs:
+            c = coeffs_all[:, n].astype(cdtype)
+            H = H0_ + jnp.einsum("kt,ktij->kij", c, ops_)
+        elif shared:
+            coeffs = coeffs_all[n].astype(cdtype)
             H = H0_[0] + jnp.einsum("t,tij->ij", coeffs, ops_[0])
         else:
+            coeffs = coeffs_all[n].astype(cdtype)
             H = H0_ + jnp.einsum("t,ktij->kij", coeffs, ops_)
         Hd = jnp.conj(jnp.swapaxes(H, -1, -2))
         chi_new = _apply_bw_prop(cp, pd_bw, Hd, chi, dt[n], n)
@@ -1177,7 +1386,7 @@ def _gradgen_chunk(cp: CompiledProblem, n_intermediates=8,
     return max(c for c in divisors if c <= target)
 
 
-def _backward_vectorized_gradgen(cp: CompiledProblem, pulsevals, storage,
+def _backward_vectorized_gradgen(cp: CompiledProblem, tables, storage,
                                  chis, rho, amp_max=None):
     """Time-vectorized gradgen backward pass (requires stored ``U_n``).
 
@@ -1202,20 +1411,12 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, pulsevals, storage,
     from .ops.frechet import expm_frechet
 
     cdtype = cp.psi0.dtype
-    rdtype = cp.tlist.dtype
     dt = jnp.diff(jnp.asarray(cp.tlist))
-    eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps)).astype(
-        rdtype
-    )
-    M_ = jnp.asarray(cp.M)
     ops_ = jnp.asarray(cp.ops)
     H0_ = jnp.asarray(cp.H0)
-    Mfix_ = jnp.asarray(cp.Mfix)
 
-    coeffs_all = (
-        jnp.einsum("ntl,ln->nt", M_, eps) + Mfix_
-    ).astype(cdtype)  # (N_T, T)
-    Mc = M_.astype(cdtype)
+    coeffs_all = tables[0].astype(cdtype)  # (N_T, T) or (K, N_T, T)
+    dMc = tables[1].astype(cdtype)         # (N_T, T, L) or (K, N_T, T, L)
 
     C = _gradgen_chunk(cp)
     S = cp.n_timesteps // C
@@ -1241,6 +1442,13 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, pulsevals, storage,
             Af = a[:, None, None] * Hc
             _E, G = expm_frechet(Af, R, squarings=n_sq)  # (C, K, d, d)
             trj = jnp.einsum("tab,ckba->ckt", ops_[0], G)
+        elif cp.per_traj_coeffs:
+            Hc = H0_[None] + jnp.einsum(
+                "kct,ktij->ckij", coeffs_all[:, ns], ops_
+            )  # (C, K, d, d)
+            Af = a[:, None, None, None] * Hc
+            _E, G = expm_frechet(Af, R, squarings=n_sq)
+            trj = jnp.einsum("ktab,ckba->ckt", ops_, G)
         else:
             Hc = H0_[None] + jnp.einsum(
                 "ct,ktij->ckij", coeffs_all[ns], ops_
@@ -1248,11 +1456,16 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, pulsevals, storage,
             Af = a[:, None, None, None] * Hc
             _E, G = expm_frechet(Af, R, squarings=n_sq)  # G = L(A_n, R_n)
             trj = jnp.einsum("ktab,ckba->ckt", ops_, G)
-        # tr(Op_j G) then contract the coefficient table:
-        # ∇τ_{nl} = ρ (-i dt_n) Σ_j M[n,j,l] tr(Op_j G_n)
-        grads_c = a[:, None, None] * jnp.einsum(
-            "ctl,ckt->ckl", Mc[ns], trj
-        )
+        # tr(Op_j G) then contract the control-derivative table:
+        # ∇τ_{nl} = ρ (-i dt_n) Σ_j (∂a_j/∂ε_l)(ε_n) tr(Op_j G_n)
+        if cp.per_traj_coeffs:
+            grads_c = a[:, None, None] * jnp.einsum(
+                "kctl,ckt->ckl", dMc[:, ns], trj
+            )
+        else:
+            grads_c = a[:, None, None] * jnp.einsum(
+                "ctl,ckt->ckl", dMc[ns], trj
+            )
         return None, grads_c
 
     _, grads = lax.scan(chunk_body, None, idx)  # (S, C, K, L)
@@ -1260,7 +1473,7 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, pulsevals, storage,
     return rho[None, :, None].astype(cdtype) * grads
 
 
-def _backward_vectorized(cp: CompiledProblem, pulsevals, storage, chis,
+def _backward_vectorized(cp: CompiledProblem, tables, storage, chis,
                          rho, amp_max=None):
     """Time-vectorized backward gradient pass (phase B).
 
@@ -1278,28 +1491,20 @@ def _backward_vectorized(cp: CompiledProblem, pulsevals, storage, chis,
     Returns ``(tau_grads (N_T, K, L) [ρ-scaled], taylor_ok)``.
     """
     cdtype = cp.psi0.dtype
-    rdtype = cp.tlist.dtype
     tlist_j = jnp.asarray(cp.tlist)
     dt = jnp.diff(tlist_j)
-    eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps)).astype(
-        rdtype
-    )
-    M_ = jnp.asarray(cp.M)
     ops_ = jnp.asarray(cp.ops)
     H0_ = jnp.asarray(cp.H0)
-    Mfix_ = jnp.asarray(cp.Mfix)
 
     # ---- phase B: batched Taylor recursion over all steps -----------
-    coeffs_all = (
-        jnp.einsum("ntl,ln->nt", M_, eps) + Mfix_
-    ).astype(cdtype)  # (N_T, T)
+    coeffs_all = tables[0].astype(cdtype)  # (N_T, T) or (K, N_T, T)
+    dMc = tables[1].astype(cdtype)         # (N_T, T, L) or (K, N_T, T, L)
     # Scaled recursion (see taylor_grad_step): iterate with H†/h so the
     # iterates stay O(1) — unscaled, Φ_m ~ ‖H‖^m overflows f32 while the
     # coefficient underflows, and TPU flush-to-zero then silently
     # truncates the series.
-    h = max(_h_norm_bound(cp), 1e-30)
+    h = max(_h_norm_bound(cp, amp_max), 1e-30)
     inv_h = np.dtype(cdtype).type(1.0 / h)
-    Mc = M_.astype(cdtype)
     if cp.shared_generator:
         # one generator: the H-side tensors drop the K axis entirely
         Hs = H0_[0][None] + jnp.einsum("nt,tij->nij", coeffs_all, ops_[0])
@@ -1308,10 +1513,21 @@ def _backward_vectorized(cp: CompiledProblem, pulsevals, storage, chis,
 
         def mu_apply(v):
             u = jnp.einsum("tij,nkj->nkti", opsd, v)
-            return jnp.einsum("ntl,nkti->nkli", Mc, u)
+            return jnp.einsum("ntl,nkti->nkli", dMc, u)
 
         def h_apply(Z):  # H†/h @ Z over the stacked (k, m) axes
             return jnp.einsum("nij,nkmj->nkmi", Hds, Z)
+    elif cp.per_traj_coeffs:
+        Hs = H0_[None] + jnp.einsum("knt,ktij->nkij", coeffs_all, ops_)
+        Hds = jnp.conj(jnp.swapaxes(Hs, -1, -2)) * inv_h  # (N_T,K,d,d)/h
+        opsd = jnp.conj(jnp.swapaxes(ops_, -1, -2))  # (K, T, d, d)
+
+        def mu_apply(v):
+            u = jnp.einsum("ktij,nkj->nkti", opsd, v)
+            return jnp.einsum("kntl,nkti->nkli", dMc, u)
+
+        def h_apply(Z):
+            return jnp.einsum("nkij,nkmj->nkmi", Hds, Z)
     else:
         Hs = H0_[None] + jnp.einsum("nt,ktij->nkij", coeffs_all, ops_)
         Hds = jnp.conj(jnp.swapaxes(Hs, -1, -2)) * inv_h  # (N_T,K,d,d)/h
@@ -1319,9 +1535,9 @@ def _backward_vectorized(cp: CompiledProblem, pulsevals, storage, chis,
 
         def mu_apply(v):
             """μ† @ v for all (n, k, l) without materializing μ:
-            μ_nl† = Σ_j M[n,j,l]·Op_j†."""
+            μ_nl† = Σ_j (∂a_j/∂ε_l)·Op_j†."""
             u = jnp.einsum("ktij,nkj->nkti", opsd, v)
-            return jnp.einsum("ntl,nkti->nkli", Mc, u)
+            return jnp.einsum("ntl,nkti->nkli", dMc, u)
 
         def h_apply(Z):
             return jnp.einsum("nkij,nkmj->nkmi", Hds, Z)
@@ -1382,6 +1598,7 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False):
     eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps)).astype(
         cp.tlist.dtype
     )
+    tables = _coeff_tables(cp, eps)
     tlist_j = jnp.asarray(cp.tlist)
     if cp.storage_mode != "recompute":
         Us = None
@@ -1389,10 +1606,7 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False):
             amp_max = (
                 pd.get("amp_max") if isinstance(pd, dict) else None
             )
-            coeffs = (
-                jnp.einsum("ntl,ln->nt", jnp.asarray(cp.M), eps)
-                + jnp.asarray(cp.Mfix)
-            ).astype(jnp.float32)
+            coeffs = tables[0].astype(jnp.float32)
             dts = jnp.diff(tlist_j).astype(jnp.float32)
             out = forward_scan_pallas_smalld(
                 cp.H0, cp.ops, coeffs, dts, cp.psi0,
@@ -1404,10 +1618,7 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False):
             amp_max = (
                 pd.get("amp_max") if isinstance(pd, dict) else None
             )
-            coeffs = (
-                jnp.einsum("ntl,ln->nt", jnp.asarray(cp.M), eps)
-                + jnp.asarray(cp.Mfix)
-            ).astype(jnp.float32)
+            coeffs = tables[0].astype(jnp.float32)
             dts = jnp.diff(tlist_j).astype(jnp.float32)
             if cp.shared_generator:
                 # one expm per step applied to the (K, d) state block
@@ -1425,9 +1636,9 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False):
                 )
             storage, Us = out if want_U else (out, None)
         elif want_U:
-            storage, Us = _forward(cp, pulsevals, pd, with_U=True)
+            storage, Us = _forward(cp, tables, pd, with_U=True)
         else:
-            storage = _forward(cp, pulsevals, pd)
+            storage = _forward(cp, tables, pd)
         J_T_val, J_a_val, J_b_val, tau = _J_parts(cp, pulsevals, storage)
         return (
             storage, None, storage[-1], (J_T_val, J_a_val, J_b_val, tau), Us
@@ -1435,7 +1646,7 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False):
 
     S = cp.storage_segments
     seg_len = cp.n_timesteps // S
-    fwd_step = _make_fwd_step(cp, pd, eps)
+    fwd_step = _make_fwd_step(cp, pd, tables)
     w = _grid_weights(tlist_j)
     psi0_ = jnp.asarray(cp.psi0)
 
@@ -1480,6 +1691,7 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False):
 def build_f(cp: CompiledProblem, amp_max=None):
     """Jitted functional-only evaluation (reference
     ``evaluate_functional``, used for line-search F-only probes)."""
+    _warm_env_cache(cp, amp_max)
     pd = _prop_data(cp, amp_max)
 
     @jax.jit
@@ -1535,6 +1747,7 @@ def build_fg(cp: CompiledProblem, amp_max=None):
     """
     cdtype = cp.psi0.dtype
     rdtype = cp.tlist.dtype
+    _warm_env_cache(cp, amp_max)
     pd = _prop_data(cp, amp_max)
     recompute = cp.storage_mode == "recompute"
 
@@ -1566,15 +1779,18 @@ def build_fg(cp: CompiledProblem, amp_max=None):
         safe_rho = jnp.where(rho > 0, rho, 1.0)
         chi_hat = chi_T / safe_rho[:, None].astype(cdtype)
 
-        eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps))
-        bw_step = _make_bw_step(cp, pd, eps, rho, safe_rho)
+        eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps)).astype(
+            rdtype
+        )
+        tables = _coeff_tables(cp, eps)
+        bw_step = _make_bw_step(cp, pd, tables, rho, safe_rho, amp_max)
 
         if not recompute and Us is not None and vec_gg:
             # stored propagators → time-vectorized gradgen (one rank-1
             # Fréchet per step serves all L directions)
             chis = _chi_trajectory(cp, storage, Us, chi_hat, safe_rho)
             tau_grads = _backward_vectorized_gradgen(
-                cp, pulsevals, storage, chis, rho, amp_max
+                cp, tables, storage, chis, rho, amp_max
             )
             taylor_ok_all = jnp.asarray(True)
         elif (
@@ -1587,10 +1803,10 @@ def build_fg(cp: CompiledProblem, amp_max=None):
                 chis = _chi_trajectory(cp, storage, Us, chi_hat, safe_rho)
             else:
                 chis = _chi_prop_scan(
-                    cp, pd, eps, storage, chi_hat, safe_rho
+                    cp, pd, tables, storage, chi_hat, safe_rho
                 )
             tau_grads, taylor_ok_all = _backward_vectorized(
-                cp, pulsevals, storage, chis, rho, amp_max
+                cp, tables, storage, chis, rho, amp_max
             )
         elif not recompute:
             def bw_body(chi, n):
@@ -1604,7 +1820,7 @@ def build_fg(cp: CompiledProblem, amp_max=None):
         else:
             S = cp.storage_segments
             seg_len = cp.n_timesteps // S
-            fwd_step = _make_fwd_step(cp, pd, eps, with_U=reuse_U)
+            fwd_step = _make_fwd_step(cp, pd, tables, with_U=reuse_U)
 
             def seg_bwd(chi, s):
                 # recompute the forward states of segment s from its

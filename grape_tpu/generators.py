@@ -18,7 +18,9 @@ keeps the whole time scan free of Python dispatch and makes both ``H`` and
 import numpy as np
 import jax.numpy as jnp
 
-from .amplitudes import ComplexAmplitude, LockedAmplitude, ShapedAmplitude
+from .amplitudes import (
+    ComplexAmplitude, CustomAmplitude, LockedAmplitude, ShapedAmplitude,
+)
 
 __all__ = ["Generator", "hamiltonian", "liouvillian", "align_generators"]
 
@@ -58,7 +60,10 @@ class Generator:
         return self.drift.shape[-1]
 
     def term_shapes(self, tlist):
-        """Per-term static shape values on the intervals: list of ``(N_T,)``."""
+        """Per-term static shape values on the intervals: list of ``(N_T,)``
+        (``CustomAmplitude`` terms — whose coefficients are traced functions
+        of the pulse, not static tables — report ones; they are excluded
+        from the linear coefficient tables)."""
         N_T = len(tlist) - 1
         out = []
         for _, amp in self.terms:
@@ -71,7 +76,9 @@ class Generator:
     def coefficient_tables(self, tlist, controls):
         """``(M (N_T, T, L), Mfix (N_T, T))``: per-interval linear
         coefficients of each term w.r.t. the controls, and the fixed
-        (locked-amplitude) coefficients."""
+        (locked-amplitude) coefficients.  ``CustomAmplitude`` (nonlinear)
+        terms have all-zero rows here; their coefficients are traced
+        closures built by ``compile_problem``."""
         N_T = len(tlist) - 1
         T = len(self.terms)
         L = max(len(controls), 1)
@@ -79,28 +86,50 @@ class Generator:
         Mfix = np.zeros((N_T, T), dtype=np.float64)
         shapes = self.term_shapes(tlist)
         for j, l in enumerate(self.term_control_indices(controls)):
-            if l is None:
-                Mfix[:, j] = shapes[j]
+            if l is None or isinstance(l, tuple):
+                if l is None:
+                    Mfix[:, j] = shapes[j]
+                # tuple = CustomAmplitude: nonlinear, no static row
             else:
                 M[:, j, l] = shapes[j]
         return M, Mfix
 
     def term_control_indices(self, controls):
-        """Index into `controls` for each term's underlying control
-        (``None`` for locked terms, which have no control)."""
+        """Index into `controls` for each term's underlying control:
+        ``None`` for locked terms (no control), an ``int`` for linear
+        terms, a ``tuple`` of ints for ``CustomAmplitude`` (nonlinear)
+        terms."""
+
+        def _find(control):
+            for l, c in enumerate(controls):
+                if c is control:
+                    return l
+            raise ValueError(
+                "term control not found in control list"
+            )  # pragma: no cover
+
         idx = []
         for _, amp in self.terms:
             if isinstance(amp, LockedAmplitude):
                 idx.append(None)
-                continue
-            control = amp.control if isinstance(amp, ShapedAmplitude) else amp
-            for l, c in enumerate(controls):
-                if c is control:
-                    idx.append(l)
-                    break
-            else:  # pragma: no cover
-                raise ValueError("term control not found in control list")
+            elif isinstance(amp, CustomAmplitude):
+                idx.append(tuple(_find(c) for c in amp.controls))
+            else:
+                control = (
+                    amp.control if isinstance(amp, ShapedAmplitude) else amp
+                )
+                idx.append(_find(control))
         return idx
+
+    def custom_terms(self, controls):
+        """``[(j, CustomAmplitude, ctl_indices), ...]`` for the nonlinear
+        terms (the reference's general amplitude protocol)."""
+        out = []
+        for j, (_, amp) in enumerate(self.terms):
+            if isinstance(amp, CustomAmplitude):
+                idxs = self.term_control_indices(controls)[j]
+                out.append((j, amp, idxs))
+        return out
 
 
 def hamiltonian(*parts):

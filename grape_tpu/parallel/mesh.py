@@ -111,13 +111,15 @@ def shard_problem(cp: CompiledProblem, mesh, axis=None):
     # with a shared generator the programs slice H0[0]/ops[0]: replicate
     # the operator arrays so the slice is local on every device
     op_sharding = repl if cp.shared_generator else traj_sharding
+    # per-trajectory coefficient tables carry a leading K axis: shard it
+    m_sharding = traj_sharding if cp.per_traj_coeffs else repl
     return dataclasses.replace(
         cp,
         psi0=jax.device_put(cp.psi0, traj_sharding),
         H0=jax.device_put(cp.H0, op_sharding),
         ops=jax.device_put(cp.ops, op_sharding),
-        M=jax.device_put(jnp.asarray(cp.M), repl),
-        Mfix=jax.device_put(jnp.asarray(cp.Mfix), repl),
+        M=jax.device_put(jnp.asarray(cp.M), m_sharding),
+        Mfix=jax.device_put(jnp.asarray(cp.Mfix), m_sharding),
         tlist=jax.device_put(jnp.asarray(cp.tlist), repl),
     )
 

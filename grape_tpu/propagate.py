@@ -85,6 +85,11 @@ def propagate(state, generator, tlist, storage=False, backwards=False,
         order = np.arange(N_T)
     psi0 = np.asarray(state, dtype=cdtype)
 
+    from .controls import midpoints
+
+    custom = generator.custom_terms(controls)
+    tmid = midpoints(tlist)
+
     @jax.jit
     @jax.default_matmul_precision("highest")
     def run(eps_in):
@@ -94,9 +99,18 @@ def propagate(state, generator, tlist, storage=False, backwards=False,
         dt_ = jnp.asarray(dtv)
 
         Mfixj = jnp.asarray(Mfix)
+        # nonlinear (CustomAmplitude) coefficients, evaluated per interval
+        coeffs_all = jnp.einsum("ntl,ln->nt", Mj, eps_in) + Mfixj
+        tmid_ = jnp.asarray(tmid).astype(eps_in.dtype)
+        for j, amp, idxs in custom:
+            vals = eps_in[jnp.asarray(idxs), :]
+            aj = jax.vmap(amp.func, in_axes=(1, 0))(vals, tmid_)
+            coeffs_all = coeffs_all.at[:, j].set(
+                jnp.reshape(aj, (N_T,)).astype(coeffs_all.dtype)
+            )
 
         def step(psi, n):
-            coeffs = (Mj[n] @ eps_in[:, n] + Mfixj[n]).astype(cdtype)
+            coeffs = coeffs_all[n].astype(cdtype)
             H = H0_ + jnp.einsum("t,tij->ij", coeffs, ops_)
             if backwards:
                 H = jnp.conj(H.T)

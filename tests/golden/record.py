@@ -72,12 +72,30 @@ CONFIGS = {
             "J_T < 10⁻⁵" if r.J_T < 1e-5 else ""
         ),
     ),
+    # dissipative Lindblad TLS (vectorized Liouville propagation): pins
+    # the open-system path (VERDICT round-2 item 8)
+    "lindblad_tls": lambda: _trace(_lindblad_problem()),
 }
 
 
-def main():
+def _lindblad_problem():
+    from grape_tpu.models import dissipative_tls_problem
+
+    return dissipative_tls_problem(gamma=0.05, n_steps=200, iter_stop=15)
+
+
+def main(only=None):
+    """Record traces (all configs, or just the names in ``only``) and
+    merge into the existing traces.json — selective regeneration after an
+    intentional numeric change never perturbs unrelated pinned traces."""
+    path = os.path.join(HERE, "traces.json")
     out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
     for name, run in CONFIGS.items():
+        if only and name not in only:
+            continue
         trace, trace_b, res = run()
         out[name] = {
             "J_T_trace": trace,
@@ -88,11 +106,12 @@ def main():
         }
         print(f"{name}: {len(trace)} entries, final J_T={trace[-1]:.6e}, "
               f"iter={res.iter}")
-    path = os.path.join(HERE, "traces.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(only=sys.argv[1:] or None)

@@ -73,8 +73,11 @@ def test_align_generators_dimension_mismatch():
 
 def test_heterogeneous_ensemble_optimization():
     """End-to-end: a robustness ensemble where only one member has a
-    crosstalk drive compiles (post-alignment) and optimizes; without
-    alignment, compile_problem rejects the structure mismatch."""
+    crosstalk drive optimizes directly through the public API —
+    compile_problem auto-aligns the heterogeneous term structures (the
+    reference accepts arbitrary per-trajectory generators because each
+    trajectory owns its propagators, src/workspace.jl:221-233).  The
+    auto-aligned result must agree with manual align_generators."""
 
     def eps(t):
         return 0.3
@@ -88,15 +91,18 @@ def test_heterogeneous_ensemble_optimization():
     trajs_raw = [
         Trajectory([1, 0], g, target_state=[0, 1]) for g in (gA, gB)
     ]
-    with pytest.raises(ValueError, match="generator structure"):
-        compile_problem(trajs_raw, tlist, J_T=J_T_sm)
+    cp_auto = compile_problem(trajs_raw, tlist, J_T=J_T_sm)
 
     gA2, gB2 = align_generators([gA, gB])
     trajs = [
         Trajectory([1, 0], g, target_state=[0, 1]) for g in (gA2, gB2)
     ]
+    cp_manual = compile_problem(trajs, tlist, J_T=J_T_sm)
+    np.testing.assert_allclose(cp_auto.ops, cp_manual.ops)
+    np.testing.assert_allclose(cp_auto.M, cp_manual.M)
+
     res = optimize(
-        trajs, tlist, iter_stop=12, J_T=J_T_sm,
+        trajs_raw, tlist, iter_stop=12, J_T=J_T_sm,
         rethrow_exceptions=True, print_iters=False,
     )
     assert res.J_T < 1e-2

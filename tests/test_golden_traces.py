@@ -104,3 +104,15 @@ def test_dummy_seeded_trace_and_pinned_iteration():
     _check("dummy_seeded", trace, trace_b, res)
     assert res.iter == TRACES["dummy_seeded"]["iter"] == 20
     assert res.message == "J_T < 10⁻⁵"
+
+
+def test_lindblad_tls_trace():
+    """Dissipative Lindblad TLS (vectorized Liouville propagation): the
+    open-system path is regression-pinned (VERDICT round-2 item 8)."""
+    from grape_tpu.models import dissipative_tls_problem
+
+    trace, trace_b, res = _run(
+        dissipative_tls_problem(gamma=0.05, n_steps=200, iter_stop=15)
+    )
+    _check("lindblad_tls", trace, trace_b, res)
+    assert res.J_T < 0.1  # beats the gamma=0.05 decay
