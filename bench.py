@@ -11,10 +11,17 @@ numbers (BASELINE.md).
 The ``sweep`` field carries the BASELINE dim sweep (2 → 1024; Chebyshev
 propagation where a dense expm per step stops making sense) with
 per-config achieved FLOP/s and MFU so the performance claims are
-auditable.  FLOP counts are XLA's own ``cost_analysis()`` estimate of the
-compiled program; MFU is quoted against the chip's bf16 matmul peak
-(197 TFLOP/s for TPU v5e) even though the program runs f32
-highest-precision passes — a deliberately conservative convention.
+auditable.  FLOP counts are ANALYTIC (``grape_tpu.flops.fg_flops``:
+formula-derived from the compiled problem's path selection — expm degree
+× squarings × d³, Chebyshev order × d², Taylor orders × d²·L — with the
+per-kernel matmul constants pinned against compiled HLO in
+``tests/test_flops_model.py``); XLA's ``cost_analysis()`` estimate is
+reported alongside as ``flops_xla`` where available (it undercounts loop
+bodies, which produced the round-2 ``mfu: 0.0`` rows).  MFU is quoted
+against the chip's bf16 matmul peak (197 TFLOP/s for TPU v5e) even
+though the program runs f32 highest-precision passes — a deliberately
+conservative convention (an f32-highest pass costs ~6 bf16-equivalent
+MXU passes, so 100% of the f32 algorithmic roofline reads as ~22% here).
 
 Platform notes (axon TPU): async dispatch cannot be trusted before the
 first host sync, so every timed evaluation is synced by transferring the
@@ -100,12 +107,23 @@ def _time_fg(fg, x, n_iter):
 
 
 def _flops_estimate(fg, x):
-    """XLA's own FLOP estimate for one compiled fg evaluation."""
+    """XLA's own FLOP estimate for one compiled fg evaluation (secondary;
+    undercounts loop bodies)."""
     try:
         cost = fg.lower(x).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def _flops_analytic(cp):
+    """Formula-derived FLOPs per fg evaluation (primary; auditable)."""
+    try:
+        from grape_tpu.flops import fg_flops
+
+        return float(fg_flops(cp))
     except Exception:
         return None
 
@@ -160,7 +178,17 @@ def _sweep_configs():
          lambda: cz(16, 200, "taylor", "cheby", T=5.0), 200, 4),
         ("dim1024_cz_cheby_taylor",
          lambda: cz(32, 100, "taylor", "cheby", T=1.0), 100, 4),
+        # large-dim gradgen (extended-state cheby gradient generator,
+        # VERDICT round-2 item 7)
+        ("dim256_cz_cheby_gradgen",
+         lambda: cz(16, 200, "gradgen", "cheby", T=5.0), 200, 4),
+        ("dim1024_cz_cheby_gradgen",
+         lambda: cz(32, 100, "gradgen", "cheby", T=1.0), 100, 4),
         ("dim2_tls_taylor", lambda: tls(800, "taylor"), 800, 1),
+        # sharded-vs-unsharded fg on a 1-device mesh: isolates the
+        # SPMD/collective-insertion overhead on real hardware (VERDICT
+        # round-2 item 5) — the psum payload is L*N_T floats
+        ("sharded_1dev_overhead", None, 800, 4),
     ]
 
 
@@ -205,10 +233,40 @@ def _optimize_iters_entry(name):
     }
 
 
+def _sharded_overhead_entry(name):
+    """Sharded-vs-unsharded fg on a ONE-device mesh (the hardware we
+    have): same math, same chip — the delta is the cost of SPMD
+    partitioning + the inserted (trivial) collectives, an upper bound on
+    the per-chip overhead a real multi-chip run would add on top of the
+    psum latency (payload: the L·N_T-float gradient + 3 J-parts)."""
+    from grape_tpu.parallel import build_fg_sharded, make_mesh
+
+    fg, cp = _build_cz(N_STEPS, dtype=np.complex64)
+    x = cp.guess_pulsevals.reshape(-1)
+    dt_plain = _time_fg(fg, x, n_iter=5)
+    mesh = make_mesh(1)
+    fg_sh, cp_sh = build_fg_sharded(cp, mesh)
+    dt_sh = _time_fg(fg_sh, x, n_iter=5)
+    grad_bytes = 4 * cp.n_controls * cp.n_timesteps  # f32 psum payload
+    return {
+        "config": name,
+        "dim": cp.dim,
+        "n_steps": N_STEPS,
+        "ms_per_eval_unsharded": round(dt_plain * 1000, 2),
+        "ms_per_eval_sharded_1dev": round(dt_sh * 1000, 2),
+        "spmd_overhead_ms": round((dt_sh - dt_plain) * 1000, 2),
+        "spmd_overhead_frac": round(dt_sh / dt_plain - 1.0, 4),
+        "psum_payload_bytes": grad_bytes,
+    }
+
+
 def _run_one_sweep_config(name):
     """Subprocess entry: run one sweep config, print its JSON entry."""
     if name == "cz_optimize_iters":
         print("SWEEP_ENTRY " + json.dumps(_optimize_iters_entry(name)))
+        return
+    if name == "sharded_1dev_overhead":
+        print("SWEEP_ENTRY " + json.dumps(_sharded_overhead_entry(name)))
         return
     peak = _peak_flops(jax.devices()[0])
     for cfg_name, build, n_steps, k_traj in _sweep_configs():
@@ -217,7 +275,8 @@ def _run_one_sweep_config(name):
         fg_s, cp_s = build()
         x_s = cp_s.guess_pulsevals.reshape(-1)
         dt_s = _time_fg(fg_s, x_s, n_iter=3)
-        flops = _flops_estimate(fg_s, x_s)
+        flops = _flops_analytic(cp_s)
+        flops_xla = _flops_estimate(fg_s, x_s)
         entry = {
             "config": name,
             "dim": cp_s.dim,
@@ -230,6 +289,8 @@ def _run_one_sweep_config(name):
             entry["flops_per_s"] = round(flops / dt_s, 1)
             if peak:
                 entry["mfu_vs_bf16_peak"] = round(flops / dt_s / peak, 4)
+        if flops_xla:
+            entry["flops_xla"] = flops_xla
         print("SWEEP_ENTRY " + json.dumps(entry))
         return
     raise SystemExit(f"unknown sweep config {name}")
@@ -274,7 +335,7 @@ def main():
     x = cp.guess_pulsevals.reshape(-1)
     dt_accel = _time_fg(fg, x, n_iter=5)
     steps_per_s = N_STEPS * K_TRAJ / dt_accel
-    headline_flops = _flops_estimate(fg, x)
+    headline_flops = _flops_analytic(cp) or _flops_estimate(fg, x)
 
     # ---- CPU float64 reference proxy (never kills the headline) ---------
     try:

@@ -1505,32 +1505,71 @@ def _backward_vectorized(cp: CompiledProblem, tables, storage, chis,
     # truncates the series.
     h = max(_h_norm_bound(cp, amp_max), 1e-30)
     inv_h = np.dtype(cdtype).type(1.0 / h)
+    # Static-operator decomposition of H†@Z at large dim: instead of
+    # materializing H_n (N_T·d² memory — 840 MB at d=1024) and running
+    # N_T separate (d,d)@(d, K(L+1)) matmuls whose K(L+1)≪128 column
+    # count wastes most of each MXU tile, apply the T+1 STATIC operators
+    # to the whole (N_T·K·(L+1), d) block — full tiles — and combine with
+    # the per-(n,t) coefficients on the VPU.  Wins when the extra (T+1)×
+    # algorithmic work is cheaper than the tile waste:
+    # (T+1)·K·(L+1) < 128 columns, and d large enough that matmuls (not
+    # dispatch) dominate.
+    T_terms = int(np.asarray(cp.M).shape[-2])
+    static_h = (
+        cp.dim >= 128
+        and (T_terms + 1) * cp.n_traj * (cp.n_controls + 1) <= 256
+    )
     if cp.shared_generator:
-        # one generator: the H-side tensors drop the K axis entirely
-        Hs = H0_[0][None] + jnp.einsum("nt,tij->nij", coeffs_all, ops_[0])
-        Hds = jnp.conj(jnp.swapaxes(Hs, -1, -2)) * inv_h  # (N_T, d, d)/h
         opsd = jnp.conj(jnp.swapaxes(ops_[0], -1, -2))  # (T, d, d)
 
         def mu_apply(v):
             u = jnp.einsum("tij,nkj->nkti", opsd, v)
             return jnp.einsum("ntl,nkti->nkli", dMc, u)
 
-        def h_apply(Z):  # H†/h @ Z over the stacked (k, m) axes
-            return jnp.einsum("nij,nkmj->nkmi", Hds, Z)
+        if static_h:
+            H0d = jnp.conj(H0_[0].T) * inv_h
+            opsd_h = opsd * inv_h
+
+            def h_apply(Z):  # H†/h @ Z without materializing H_n
+                out = jnp.einsum("ij,nkmj->nkmi", H0d, Z)
+                U = jnp.einsum("tij,nkmj->ntkmi", opsd_h, Z)
+                return out + jnp.einsum(
+                    "nt,ntkmi->nkmi", jnp.conj(coeffs_all), U
+                )
+        else:
+            Hs = H0_[0][None] + jnp.einsum(
+                "nt,tij->nij", coeffs_all, ops_[0]
+            )
+            Hds = jnp.conj(jnp.swapaxes(Hs, -1, -2)) * inv_h
+
+            def h_apply(Z):  # H†/h @ Z over the stacked (k, m) axes
+                return jnp.einsum("nij,nkmj->nkmi", Hds, Z)
     elif cp.per_traj_coeffs:
-        Hs = H0_[None] + jnp.einsum("knt,ktij->nkij", coeffs_all, ops_)
-        Hds = jnp.conj(jnp.swapaxes(Hs, -1, -2)) * inv_h  # (N_T,K,d,d)/h
         opsd = jnp.conj(jnp.swapaxes(ops_, -1, -2))  # (K, T, d, d)
 
         def mu_apply(v):
             u = jnp.einsum("ktij,nkj->nkti", opsd, v)
             return jnp.einsum("kntl,nkti->nkli", dMc, u)
 
-        def h_apply(Z):
-            return jnp.einsum("nkij,nkmj->nkmi", Hds, Z)
+        if static_h:
+            H0d = jnp.conj(jnp.swapaxes(H0_, -1, -2)) * inv_h
+            opsd_h = opsd * inv_h
+
+            def h_apply(Z):
+                out = jnp.einsum("kij,nkmj->nkmi", H0d, Z)
+                U = jnp.einsum("ktij,nkmj->ntkmi", opsd_h, Z)
+                return out + jnp.einsum(
+                    "knt,ntkmi->nkmi", jnp.conj(coeffs_all), U
+                )
+        else:
+            Hs = H0_[None] + jnp.einsum(
+                "knt,ktij->nkij", coeffs_all, ops_
+            )
+            Hds = jnp.conj(jnp.swapaxes(Hs, -1, -2)) * inv_h
+
+            def h_apply(Z):
+                return jnp.einsum("nkij,nkmj->nkmi", Hds, Z)
     else:
-        Hs = H0_[None] + jnp.einsum("nt,ktij->nkij", coeffs_all, ops_)
-        Hds = jnp.conj(jnp.swapaxes(Hs, -1, -2)) * inv_h  # (N_T,K,d,d)/h
         opsd = jnp.conj(jnp.swapaxes(ops_, -1, -2))  # (K, T, d, d)
 
         def mu_apply(v):
@@ -1539,8 +1578,24 @@ def _backward_vectorized(cp: CompiledProblem, tables, storage, chis,
             u = jnp.einsum("ktij,nkj->nkti", opsd, v)
             return jnp.einsum("ntl,nkti->nkli", dMc, u)
 
-        def h_apply(Z):
-            return jnp.einsum("nkij,nkmj->nkmi", Hds, Z)
+        if static_h:
+            H0d = jnp.conj(jnp.swapaxes(H0_, -1, -2)) * inv_h
+            opsd_h = opsd * inv_h
+
+            def h_apply(Z):
+                out = jnp.einsum("kij,nkmj->nkmi", H0d, Z)
+                U = jnp.einsum("ktij,nkmj->ntkmi", opsd_h, Z)
+                return out + jnp.einsum(
+                    "nt,ntkmi->nkmi", jnp.conj(coeffs_all), U
+                )
+        else:
+            Hs = H0_[None] + jnp.einsum(
+                "nt,ktij->nkij", coeffs_all, ops_
+            )
+            Hds = jnp.conj(jnp.swapaxes(Hs, -1, -2)) * inv_h
+
+            def h_apply(Z):
+                return jnp.einsum("nkij,nkmj->nkmi", Hds, Z)
 
     cdt = (1j * dt * h).astype(cdtype)  # = -i·(-dt_n)·h, per step (N_T,)
     Hm = chis  # (H†/h)^{m-1} χ  (m=1)

@@ -76,6 +76,21 @@ class GrapeWrk:
 
         self._amp_bucket = None
         self._program_cache = {}
+        self._program_lock = None
+        self._warm_thread = None
+        self._warm_key = None
+        self._prewarm_started = False
+        # Pre-warm of the NEXT envelope bucket on a background thread
+        # (VERDICT round-2 item 4): unbounded problems otherwise pay the
+        # full first-execution cost (compile + the axon server-side queue,
+        # 100-530 s) in the MIDDLE of the optimization when the optimizer
+        # first pushes a pulse past the guess envelope.  Disabled for
+        # mesh runs: multi-host SPMD requires every process to launch the
+        # same programs in the same order, which a per-host background
+        # thread would break.
+        self._prewarm = bool(self.kwargs.get("prewarm_envelope", True))
+        if self.mesh is not None:
+            self._prewarm = False
         from .fg import uses_static_envelope
 
         if uses_static_envelope(self.cp):
@@ -165,27 +180,95 @@ class GrapeWrk:
         use_cap = (
             np.isfinite(cap) & (amps <= cap) & (cap <= 16.0 * grown)
         )
+        self._bucket_capped = use_cap  # capped controls never re-jit
         return tuple(np.where(use_cap, cap, grown))
+
+    def _next_bucket_key(self):
+        """The bucket `_ensure_envelope` would grow into on the next
+        marginal overflow (bound-capped controls stay at their cap)."""
+        if self._amp_bucket is None:
+            return None
+        b = np.asarray(self._amp_bucket, dtype=np.float64)
+        capped = getattr(self, "_bucket_capped", np.zeros(len(b), bool))
+        if np.all(capped):
+            return None  # fully bound-derived: zero re-jits possible
+        amps = np.where(capped, b, np.nextafter(b, np.inf))
+        key = self._bucket_for(np.maximum(amps, b))
+        self._bucket_capped = capped  # restore the CURRENT bucket's mask
+        return key
+
+    def _start_prewarm(self):
+        """Build AND execute the next bucket's programs on a daemon
+        thread, so a mid-run envelope growth swaps to an already-warm
+        program instead of paying compile + the first-execution queue."""
+        if not self._prewarm or self._amp_bucket is None:
+            return
+        key = self._next_bucket_key()
+        if key is None or key == self._amp_bucket:
+            return
+        if key in self._program_cache or key == self._warm_key:
+            return
+        import threading
+
+        if self._program_lock is None:
+            self._program_lock = threading.Lock()
+        self._warm_key = key
+        x0 = np.asarray(self.pulsevals, dtype=np.float64).copy()
+
+        def warm():
+            try:
+                fg, f = self._build_programs(key)
+                # execute once: pays device compile AND the platform's
+                # first-execution queue off the critical path (any pulse
+                # values work — program shapes are envelope-independent)
+                float(fg(x0)[0])
+                float(f(x0)[0])
+                with self._program_lock:
+                    self._program_cache[key] = (fg, f)
+            except Exception:  # never kill the optimization from here
+                pass
+            finally:
+                self._warm_key = None
+
+        self._warm_thread = threading.Thread(
+            target=warm, name="grape-envelope-prewarm", daemon=True
+        )
+        self._warm_thread.start()
+
+    def _join_prewarm(self, key=None):
+        """Wait for an in-flight pre-warm (of `key`, or any) to finish."""
+        t = self._warm_thread
+        if t is not None and t.is_alive() and (
+            key is None or key == self._warm_key
+        ):
+            t.join()
+
+    def _build_programs(self, key):
+        """Build (fg, f) for an envelope bucket `key` (no cache I/O)."""
+        amp_max = np.asarray(key) if key is not None else None
+        if self.mesh is not None:
+            from .parallel import build_f_sharded, build_fg_sharded
+
+            fg, _ = build_fg_sharded(
+                self.cp, self.mesh, amp_max=amp_max, presharded=True
+            )
+            f, _ = build_f_sharded(
+                self.cp, self.mesh, amp_max=amp_max, presharded=True
+            )
+            return fg, f
+        return (
+            build_fg(self.cp, amp_max=amp_max),
+            build_f(self.cp, amp_max=amp_max),
+        )
 
     def _programs(self):
         key = self._amp_bucket
         if key not in self._program_cache:
-            amp_max = np.asarray(key) if key is not None else None
-            if self.mesh is not None:
-                from .parallel import build_f_sharded, build_fg_sharded
-
-                fg, _ = build_fg_sharded(
-                    self.cp, self.mesh, amp_max=amp_max, presharded=True
-                )
-                f, _ = build_f_sharded(
-                    self.cp, self.mesh, amp_max=amp_max, presharded=True
-                )
-                self._program_cache[key] = (fg, f)
-            else:
-                self._program_cache[key] = (
-                    build_fg(self.cp, amp_max=amp_max),
-                    build_f(self.cp, amp_max=amp_max),
-                )
+            # a background pre-warm may already be building this bucket:
+            # wait for it instead of compiling the same program twice
+            self._join_prewarm(key)
+            if key not in self._program_cache:
+                self._program_cache[key] = self._build_programs(key)
         return self._program_cache[key]
 
     def _ensure_envelope(self, x):
@@ -201,6 +284,8 @@ class GrapeWrk:
                 np.maximum(amps, np.asarray(self._amp_bucket))
             )
             self.fg, self.f = self._programs()
+            # keep one bucket of headroom warm for the next growth
+            self._start_prewarm()
 
     # -- device evaluation entry points ------------------------------------
 
@@ -218,6 +303,11 @@ class GrapeWrk:
         self.tau_vals[:] = unpack_complex(aux["tau"])
         self.states = unpack_complex(aux["psi_T"])
         self._dispatch_fw_prop_callback(aux)
+        if not self._prewarm_started:
+            # start warming the next envelope bucket AFTER the first
+            # foreground evaluation (no contention with its warmup)
+            self._prewarm_started = True
+            self._start_prewarm()
         return float(J)
 
     def _dispatch_fw_prop_callback(self, aux):
@@ -279,6 +369,9 @@ class GrapeWrk:
         self.grad_J_Tb[:] = np.asarray(aux["grad_J_Tb"], dtype=np.float64)
         self.grad_J_a[:] = np.asarray(aux["grad_J_a"], dtype=np.float64)
         self._dispatch_fw_prop_callback(aux)
+        if not self._prewarm_started:
+            self._prewarm_started = True
+            self._start_prewarm()
         return float(J), G
 
 

@@ -79,3 +79,34 @@ def test_tls_with_cheby(gradient_method):
     )
     # same physics; final J_T in close agreement
     assert abs(res.J_T - res_exp.J_T) < 1e-6
+
+
+@pytest.mark.parametrize("gradient_method", ["gradgen", "taylor"])
+def test_large_dim_cheby_gradient_agreement(gradient_method):
+    """Large-dim agreement pin for the Chebyshev-propagated gradients
+    (VERDICT round-2 item 7: the dim-256/1024 sweep rows now include
+    gradgen; this anchors the extended-state cheby gradgen path at a
+    CPU-tractable dim=36 against the exact ExpProp gradient)."""
+    from grape_tpu.fg import build_fg, compile_problem
+    from grape_tpu.models import two_transmon_cz_problem
+
+    problem = two_transmon_cz_problem(d=6, n_steps=40, T=5.0)
+    kw = dict(problem.kwargs)
+    kw.pop("prop_method", None)
+    cp_exp = compile_problem(
+        problem.trajectories, problem.tlist,
+        gradient_method=gradient_method, **kw
+    )
+    cp_cheb = compile_problem(
+        problem.trajectories, problem.tlist,
+        gradient_method=gradient_method, prop_method="cheby", **kw
+    )
+    assert cp_exp.dim == 36
+    x = cp_exp.guess_pulsevals.reshape(-1)
+    J_e, G_e, _ = build_fg(cp_exp)(x)
+    J_c, G_c, _ = build_fg(cp_cheb)(x)
+    np.testing.assert_allclose(float(J_c), float(J_e), atol=1e-10)
+    scale = np.max(np.abs(np.asarray(G_e)))
+    np.testing.assert_allclose(
+        np.asarray(G_c), np.asarray(G_e), atol=1e-9 * max(scale, 1.0)
+    )
