@@ -29,16 +29,14 @@ import jax.numpy as jnp
 BF16_PEAK = 197e12  # TPU v5e
 
 
-def _sync(x):
-    return float(jnp.real(jnp.sum(x)).astype(jnp.float32))
-
-
 def timeit(fn, *args, n=10):
-    _ = _sync(fn(*args))  # warmup: compile + first-exec queue
+    """fn must return a real f32 scalar (complex device->host transfers
+    and eager complex ops are unimplemented on the axon platform)."""
+    _ = float(fn(*args))  # warmup: compile + first-exec queue
     t0 = time.perf_counter()
     acc = 0.0
     for _i in range(n):
-        acc += _sync(fn(*args))
+        acc += float(fn(*args))  # scalar host transfer = hard sync
     dt = (time.perf_counter() - t0) / n
     assert np.isfinite(acc)
     return dt
@@ -62,9 +60,14 @@ def report(name, dt, flops, extra=None):
 
 def xla_c64(precision):
     @jax.jit
-    def f(a, b):
+    def f(ar, ai, br, bi):
+        a = (ar + 1j * ai).astype(jnp.complex64)
+        b = (br + 1j * bi).astype(jnp.complex64)
         with jax.default_matmul_precision(precision):
-            return a @ b
+            c = a @ b
+        return (
+            jnp.sum(jnp.real(c)) + jnp.sum(jnp.imag(c))
+        ).astype(jnp.float32)
 
     return f
 
@@ -76,7 +79,7 @@ def xla_karatsuba(precision):
             t1 = ar @ br
             t2 = ai @ bi
             t3 = (ar + ai) @ (br + bi)
-        return t1 - t2, t3 - t1 - t2
+        return (jnp.sum(t3 - t2 - t2) + jnp.sum(t1)).astype(jnp.float32)
 
     return f
 
@@ -128,7 +131,7 @@ def pallas_karatsuba(D, B, reps=1, precision="highest"):
                 jax.ShapeDtypeStruct((B, D, D), jnp.float32),
             ),
         )(ar, ai, br, bi)
-        return outr + outi
+        return (jnp.sum(outr) + jnp.sum(outi)).astype(jnp.float32)
 
     return f
 
@@ -141,21 +144,17 @@ def main():
     rng = np.random.default_rng(0)
     B = 512
     for d in (100, 128):
-        a = rng.normal(size=(B, d, d)).astype(np.float32)
-        b = rng.normal(size=(B, d, d)).astype(np.float32)
-        ac = (a + 1j * rng.normal(size=(B, d, d))).astype(np.complex64)
-        bc = (b + 1j * rng.normal(size=(B, d, d))).astype(np.complex64)
+        ar = rng.normal(size=(B, d, d)).astype(np.float32)
+        ai = rng.normal(size=(B, d, d)).astype(np.float32)
+        br = rng.normal(size=(B, d, d)).astype(np.float32)
+        bi = rng.normal(size=(B, d, d)).astype(np.float32)
         flops = 8.0 * d**3 * B
 
         for prec in ("highest", "default"):
-            dt = timeit(xla_c64(prec), ac, bc)
+            dt = timeit(xla_c64(prec), ar, ai, br, bi)
             report(f"xla_c64_d{d}_{prec}", dt, flops, {"batch": B})
 
-            dt = timeit(
-                xla_karatsuba(prec), a,
-                rng.normal(size=(B, d, d)).astype(np.float32), b,
-                rng.normal(size=(B, d, d)).astype(np.float32),
-            )
+            dt = timeit(xla_karatsuba(prec), ar, ai, br, bi)
             report(f"xla_karatsuba_d{d}_{prec}", dt, flops, {"batch": B})
 
     # Pallas: 128-padded planes (counted flops stay at d=100 for the

@@ -1371,6 +1371,27 @@ def _vec_gradgen_enabled(cp: CompiledProblem, pds=None):
     return nbytes <= 4 * 1024**3
 
 
+def _pallas_gradgen_enabled(cp: CompiledProblem):
+    """Fused Fréchet-trace kernel gate (shared generator): the per-step
+    Taylor-PS base + K rank-1 Fréchet factors + trace reduction run
+    entirely in VMEM (the XLA chunked path round-trips every (C,K,d,d)
+    intermediate through HBM between matmuls).  VMEM bound: the unrolled
+    chain holds ~(14 + n_blocks + s) d² f32 planes."""
+    if cp.use_pallas is False:
+        return False
+    if not _unsharded_host_problem(cp):
+        return False
+    if not cp.shared_generator or cp.per_traj_coeffs:
+        return False
+    if cp.psi0.dtype != np.complex64:
+        return False
+    if cp.dim > 128 or cp.n_traj > 8:
+        return False
+    import jax as _jax
+
+    return _jax.devices()[0].platform == "tpu"
+
+
 def _gradgen_chunk(cp: CompiledProblem, n_intermediates=8,
                    budget_bytes=1 * 1024**3):
     """Time-chunk length for the vectorized gradgen pass: a divisor of
@@ -1417,6 +1438,24 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, tables, storage,
 
     coeffs_all = tables[0].astype(cdtype)  # (N_T, T) or (K, N_T, T)
     dMc = tables[1].astype(cdtype)         # (N_T, T, L) or (K, N_T, T, L)
+
+    if _pallas_gradgen_enabled(cp):
+        # fused VMEM kernel: per step, the Taylor-PS base + K rank-1
+        # Fréchet factors + the T trace reductions never leave the chip
+        from .ops.pallas_frechet import frechet_trace_pallas_shared
+
+        trj = frechet_trace_pallas_shared(
+            H0_[0], ops_[0],
+            tables[0].astype(jnp.float32),
+            dt.astype(jnp.float32),
+            storage[:-1], chis,
+            n_squarings=_pallas_squarings(cp, amp_max),
+        )  # (N_T, K, T)
+        a_all = (-1j * dt).astype(cdtype)
+        grads = a_all[:, None, None] * jnp.einsum(
+            "ntl,nkt->nkl", dMc, trj
+        )
+        return rho[None, :, None].astype(cdtype) * grads
 
     C = _gradgen_chunk(cp)
     S = cp.n_timesteps // C

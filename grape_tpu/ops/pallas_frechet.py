@@ -1,0 +1,236 @@
+"""Fused Pallas kernel for the time-batched rank-1 Fréchet trace pass.
+
+This is the gradgen backward's hot loop (``fg._backward_vectorized_gradgen``)
+as ONE kernel: per time step, the Taylor-PS base of ``expm`` and its
+Fréchet factors in the K rank-1 directions ``R_k = ψ_k χ_k†`` are computed
+entirely in VMEM (the XLA path round-trips the (C, K, d, d) intermediates
+through HBM between every one of the ~60-100 batched matmuls per step),
+then reduced on-chip to the T trace scalars ``tr(Op_t · L(A_n, R_k))``
+actually needed by the gradient — the (K, d, d) Fréchet factors never
+touch HBM at all.
+
+Addresses VERDICT round-2 "next" item 1: pack the per-step matmul chain
+into the MXU with VMEM-resident operands; complex-as-planes Karatsuba
+(3 real dots per complex matmul).
+
+Shared-generator variant (gate optimizations: one H, K basis states) —
+the base exponential work is shared by all K directions.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .expm import _FACT_INV
+from .pallas_prop import _cmatmul, _dot
+
+__all__ = ["frechet_trace_pallas_shared"]
+
+
+def _frechet_kernel_shared(
+    coeffs_ref, dts_ref,  # scalar-prefetch: (N_T, T), (N_T, 1)
+    h0r_ref, h0i_ref, opsr_ref, opsi_ref,  # (1,d,d), (T,d,d) planes
+    opstr_ref, opsti_ref,                  # ops pre-TRANSPOSED (T,d,d)
+    psir_ref, psii_ref, chir_ref, chii_ref,  # (1, K, d) per-step blocks
+    tjr_ref, tji_ref,                      # out (1, K, LANES) planes
+    *, degree, n_squarings, n_terms, n_dirs,
+):
+    n = pl.program_id(0)
+    scale = np.float32(2.0 ** (-n_squarings))
+
+    # ---- A = -i·dt·H, pre-scaled by 2^-s --------------------------------
+    hr = h0r_ref[0]
+    hi = h0i_ref[0]
+    for t in range(n_terms):
+        c = coeffs_ref[n, t]
+        hr = hr + c * opsr_ref[t]
+        hi = hi + c * opsi_ref[t]
+    dt = dts_ref[n, 0]
+    ar = (dt * scale) * hi
+    ai = (-dt * scale) * hr
+
+    # ---- base powers + E by Paterson-Stockmeyer --------------------------
+    d = ar.shape[-1]
+    ident = jnp.eye(d, dtype=jnp.float32)
+    zero = jnp.zeros_like(ar)
+    a2r, a2i = _cmatmul(ar, ai, ar, ai)
+    a3r, a3i = _cmatmul(a2r, a2i, ar, ai)
+    a4r, a4i = _cmatmul(a3r, a3i, ar, ai)
+    pows = [(ident, zero), (ar, ai), (a2r, a2i), (a3r, a3i)]
+    n_blocks = (degree + 1 + 3) // 4
+
+    def ps_blk(b):
+        blkr = zero
+        blki = zero
+        for r in range(4):
+            k = 4 * b + r
+            if k > degree:
+                continue
+            c = np.float32(_FACT_INV[k])
+            blkr = blkr + c * pows[r][0]
+            blki = blki + c * pows[r][1]
+        return blkr, blki
+
+    er = ei = None
+    e_hist = []  # E value BEFORE each Horner update (reused by all dirs)
+    for b in reversed(range(n_blocks)):
+        blkr, blki = ps_blk(b)
+        if er is None:
+            er, ei = blkr, blki
+        else:
+            e_hist.append((er, ei))
+            tr_, ti_ = _cmatmul(a4r, a4i, er, ei)
+            er = blkr + tr_
+            ei = blki + ti_
+    # keep the E ladder for the pair doublings: E_j = E_base^(2^j)
+    e_ladder = [(er, ei)]
+    for _ in range(n_squarings):
+        er, ei = _cmatmul(er, ei, er, ei)
+        e_ladder.append((er, ei))
+
+    # ---- per-direction Fréchet factor + trace reduction ------------------
+    for k in range(n_dirs):
+        # R_k = ψ_k χ_k† (scaled by 2^-s: L(A,B) is linear in B).
+        # rows are (1, d); outer product via one rank-1 MXU dot each.
+        pr = psir_ref[0, k : k + 1, :]
+        pi = psii_ref[0, k : k + 1, :]
+        cr = chir_ref[0, k : k + 1, :]
+        ci = chii_ref[0, k : k + 1, :]
+        prT = pr.T  # (d, 1)
+        piT = pi.T
+        # (ψr + iψi)(χr − iχi)† outer: Rr = ψr⊗χr + ψi⊗χi,
+        #                              Ri = ψi⊗χr − ψr⊗χi
+        rr = scale * (_dot(prT, cr) + _dot(piT, ci))
+        ri = scale * (_dot(piT, cr) - _dot(prT, ci))
+
+        # M-chain: M_j = dA^j[R]:  M1 = R, M_{j+1} = A·M_j + R·A^j
+        m1r, m1i = rr, ri
+        t1r, t1i = _cmatmul(ar, ai, m1r, m1i)
+        t2r, t2i = _cmatmul(rr, ri, ar, ai)
+        m2r, m2i = t1r + t2r, t1i + t2i
+        t1r, t1i = _cmatmul(ar, ai, m2r, m2i)
+        t2r, t2i = _cmatmul(rr, ri, a2r, a2i)
+        m3r, m3i = t1r + t2r, t1i + t2i
+        t1r, t1i = _cmatmul(ar, ai, m3r, m3i)
+        t2r, t2i = _cmatmul(rr, ri, a3r, a3i)
+        m4r, m4i = t1r + t2r, t1i + t2i
+        dpows = [None, (m1r, m1i), (m2r, m2i), (m3r, m3i)]
+
+        def dps_blk(b):
+            dr = di = None
+            for r in range(4):
+                kk = 4 * b + r
+                if kk > degree or dpows[r] is None:
+                    continue
+                c = np.float32(_FACT_INV[kk])
+                if dr is None:
+                    dr = c * dpows[r][0]
+                    di = c * dpows[r][1]
+                else:
+                    dr = dr + c * dpows[r][0]
+                    di = di + c * dpows[r][1]
+            return dr, di
+
+        # Horner in A⁴ for the Fréchet factor, mirroring
+        # ops/frechet.py:_frechet_taylor_ps; the E partials are replayed
+        # from e_hist (computed once, shared by all K directions)
+        der = dei = None
+        first = True
+        for i, b in enumerate(reversed(range(n_blocks))):
+            dblk = dps_blk(b)
+            if first:
+                first = False
+                der, dei = dblk
+            else:
+                ehr, ehi = e_hist[i - 1]
+                ndr, ndi = _cmatmul(m4r, m4i, ehr, ehi)
+                if der is not None:
+                    tr_, ti_ = _cmatmul(a4r, a4i, der, dei)
+                    ndr = ndr + tr_
+                    ndi = ndi + ti_
+                if dblk[0] is not None:
+                    ndr = ndr + dblk[0]
+                    ndi = ndi + dblk[1]
+                der, dei = ndr, ndi
+        # pair doublings: L ← E_j·L + L·E_j
+        for j in range(n_squarings):
+            ejr, eji = e_ladder[j]
+            t1r, t1i = _cmatmul(ejr, eji, der, dei)
+            t2r, t2i = _cmatmul(der, dei, ejr, eji)
+            der = t1r + t2r
+            dei = t1i + t2i
+
+        # trace reduction: tr(Op_t·G) = Σ_ab Op_t^T[b,a]·G[b,a]
+        for t in range(n_terms):
+            otr = opstr_ref[t]
+            oti = opsti_ref[t]
+            tjr_ref[0, k, t] = jnp.sum(otr * der) - jnp.sum(oti * dei)
+            tji_ref[0, k, t] = jnp.sum(otr * dei) + jnp.sum(oti * der)
+
+
+def frechet_trace_pallas_shared(
+    H0, ops, coeffs, dts, psis, chis, n_squarings, degree=16,
+    interpret=False,
+):
+    """``trj[n, k, t] = tr(Op_t · L(-i dt_n H_n, ψ_nk χ_nk†))`` fused.
+
+    Args:
+      H0:   (d, d) complex64 shared drift
+      ops:  (T, d, d) complex64 shared control-term operators
+      coeffs: (N_T, T) float32 per-step term coefficients
+      dts:  (N_T,) float32
+      psis: (N_T, K, d) complex64 forward states ψ(t_n)
+      chis: (N_T, K, d) complex64 normalized co-states χ(t_{n+1})
+      n_squarings: static squaring count (host amplitude envelope)
+
+    Returns trj (N_T, K, T) complex64.
+    """
+    N_T, K, d = psis.shape
+    T = ops.shape[0]
+    f32 = jnp.float32
+    LANES = 128  # padded trace-output lane dim (T ≤ LANES)
+    assert T <= LANES
+
+    h0r = jnp.real(jnp.asarray(H0)).astype(f32)[None]
+    h0i = jnp.imag(jnp.asarray(H0)).astype(f32)[None]
+    opsj = jnp.asarray(ops)
+    opsr = jnp.real(opsj).astype(f32)
+    opsi = jnp.imag(opsj).astype(f32)
+    opstr = jnp.swapaxes(opsr, -1, -2)
+    opsti = jnp.swapaxes(opsi, -1, -2)
+    psir = jnp.real(psis).astype(f32)
+    psii = jnp.imag(psis).astype(f32)
+    chir = jnp.real(chis).astype(f32)
+    chii = jnp.imag(chis).astype(f32)
+    coeffs = jnp.asarray(coeffs, dtype=f32)
+    dts2 = jnp.asarray(dts, dtype=f32).reshape(N_T, 1)
+
+    kernel = functools.partial(
+        _frechet_kernel_shared, degree=degree,
+        n_squarings=int(n_squarings), n_terms=T, n_dirs=K,
+    )
+    mat = pl.BlockSpec((1, d, d), lambda n, *_: (0, 0, 0))
+    matT = pl.BlockSpec((T, d, d), lambda n, *_: (0, 0, 0))
+    step = pl.BlockSpec((1, K, d), lambda n, *_: (n, 0, 0))
+    outspec = pl.BlockSpec((1, K, LANES), lambda n, *_: (n, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N_T,),
+        in_specs=[mat, mat, matT, matT, matT, matT, step, step, step, step],
+        out_specs=[outspec, outspec],
+    )
+    tjr, tji = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((N_T, K, LANES), f32),
+            jax.ShapeDtypeStruct((N_T, K, LANES), f32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(coeffs, dts2, h0r, h0i, opsr, opsi, opstr, opsti,
+      psir, psii, chir, chii)
+    return (tjr[..., :T] + 1j * tji[..., :T]).astype(jnp.complex64)
