@@ -197,10 +197,17 @@ class GrapeWrk:
         self._bucket_capped = capped  # restore the CURRENT bucket's mask
         return key
 
-    def _start_prewarm(self):
-        """Build AND execute the next bucket's programs on a daemon
-        thread, so a mid-run envelope growth swaps to an already-warm
-        program instead of paying compile + the first-execution queue."""
+    def _start_prewarm(self, block=None):
+        """Build AND execute the next bucket's programs, so a mid-run
+        envelope growth swaps to an already-warm program instead of
+        paying compile + the first-execution cost.
+
+        ``block=True`` warms synchronously — used for the FIRST warm on
+        the TPU platform, where a program's first execution pays a large
+        server-side queue cost that a background thread could not hide
+        (device dispatches serialize): paying it inside the iteration-0
+        window keeps every later iteration stall-free.  Elsewhere (CPU,
+        or subsequent growths) a daemon thread warms in the background."""
         if not self._prewarm or self._amp_bucket is None:
             return
         key = self._next_bucket_key()
@@ -210,6 +217,8 @@ class GrapeWrk:
             return
         import threading
 
+        if block is None:
+            block = jax.devices()[0].platform == "tpu"
         if self._program_lock is None:
             self._program_lock = threading.Lock()
         self._warm_key = key
@@ -230,6 +239,9 @@ class GrapeWrk:
             finally:
                 self._warm_key = None
 
+        if block:
+            warm()
+            return
         self._warm_thread = threading.Thread(
             target=warm, name="grape-envelope-prewarm", daemon=True
         )
