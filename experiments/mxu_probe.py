@@ -159,7 +159,9 @@ def main():
     floor = timeit(nop, (xs,), n=5)
     report("per_call_floor", floor, 0.0)
 
-    B, REPS = 128, 32
+    # Work sized so device time >> the per-call floor (measured ~31 ms:
+    # everything smaller reads as the floor, not the kernel)
+    B, REPS = 512, 256
     for d in (100, 128):
         args = _operands(rng, B, d)
         flops = 8.0 * d**3 * B * REPS
@@ -173,7 +175,7 @@ def main():
 
     # HBM-streaming batched matmul (reps=1, large batch): the regime the
     # XLA gradgen path runs in today
-    B1 = 4096
+    B1 = 8192
     args = _operands(rng, B1, 128)
     dt = timeit(xla_c64_chain("highest", 1), args)
     report("xla_c64_stream_d128_highest", dt, 8.0 * 128**3 * B1,
@@ -192,6 +194,25 @@ def main():
             {"batch": B, "reps": REPS,
              "mfu_if_d100_payload": round(flops_100 / dt / BF16_PEAK, 4)},
         )
+
+    # Pipelining: can N un-synced dispatches hide the per-call floor?
+    f = xla_c64_chain("highest", 8)
+    args = _operands(rng, 128, 128)
+    _ = float(f(*args))
+    n_pipe = 10
+    t0 = time.perf_counter()
+    outs = [f(*args) for _ in range(n_pipe)]
+    mid = time.perf_counter() - t0
+    acc = float(outs[-1]) + float(outs[0])
+    dt_all = (time.perf_counter() - t0) / n_pipe
+    assert np.isfinite(acc)
+    dt_sync = timeit(f, args, n=4)
+    print(json.dumps({
+        "probe": "pipelining_10_dispatch_1_sync",
+        "ms_per_call_pipelined": round(dt_all * 1e3, 2),
+        "ms_dispatch_only": round(mid / n_pipe * 1e3, 2),
+        "ms_per_call_synced": round(dt_sync * 1e3, 2),
+    }), flush=True)
 
 
 if __name__ == "__main__":

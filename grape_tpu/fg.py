@@ -128,6 +128,10 @@ class CompiledProblem:
     # CustomAmplitude envelopes are SAMPLED — the memo keeps that out of
     # traced program bodies (build_f/build_fg pre-warm it)
     env_cache: Any = field(default_factory=dict)
+    # matmul precision inside the fused Fréchet-trace kernel ("high" =
+    # 3-pass bf16: per-step-independent math, no cross-step compounding;
+    # see ops/pallas_frechet._PRECISIONS)
+    gradgen_pallas_precision: str = "high"
 
     @property
     def dt(self):
@@ -166,6 +170,7 @@ def compile_problem(
     vectorize_backward=True,
     fw_prop_callback=None,
     fw_prop_observables=None,
+    gradgen_pallas_precision="high",
     **_ignored,
 ):
     """Compile trajectories + tlist into a :class:`CompiledProblem`.
@@ -323,6 +328,7 @@ def compile_problem(
         ctl_idx=tuple(ctl_idx),
         custom_terms=custom_terms,
         per_traj_coeffs=per_traj_coeffs,
+        gradgen_pallas_precision=str(gradgen_pallas_precision),
         reuse_propagators=reuse_propagators,
         vectorize_backward=bool(vectorize_backward),
         fw_prop_callback=_check_fw_prop_callback(
@@ -1450,6 +1456,7 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, tables, storage,
             dt.astype(jnp.float32),
             storage[:-1], chis,
             n_squarings=_pallas_squarings(cp, amp_max),
+            precision=cp.gradgen_pallas_precision,
         )  # (N_T, K, T)
         a_all = (-1j * dt).astype(cdtype)
         grads = a_all[:, None, None] * jnp.einsum(
