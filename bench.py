@@ -92,7 +92,7 @@ def _build_cz(n_steps, dtype, gradient_method="taylor"):
     return build_fg(cp), cp
 
 
-def _time_fg(fg, x, n_iter):
+def _time_fg(fg, x, n_iter, pipelined=False):
     rng = np.random.default_rng(0)
     J = float(fg(x)[0])  # warmup: trace + device compile + first execution
     assert np.isfinite(J)
@@ -103,7 +103,17 @@ def _time_fg(fg, x, n_iter):
         acc += float(fg(xi)[0])  # scalar host transfer = hard sync
     dt = (time.perf_counter() - t0) / n_iter
     assert np.isfinite(acc)
-    return dt
+    if not pipelined:
+        return dt
+    # pipelined: n dispatches, ONE sync — amortizes the per-call
+    # launch+sync latency (~27-31 ms through the axon tunnel; measured
+    # pipelinable, experiments/mxu_probe.py), isolating device time
+    t0 = time.perf_counter()
+    outs = [fg(xi) for xi in xs]
+    acc = float(outs[-1][0])
+    dt_pipe = (time.perf_counter() - t0) / n_iter
+    assert np.isfinite(acc)
+    return dt, dt_pipe
 
 
 def _flops_estimate(fg, x):
@@ -274,7 +284,7 @@ def _run_one_sweep_config(name):
             continue
         fg_s, cp_s = build()
         x_s = cp_s.guess_pulsevals.reshape(-1)
-        dt_s = _time_fg(fg_s, x_s, n_iter=3)
+        dt_s, dt_pipe = _time_fg(fg_s, x_s, n_iter=3, pipelined=True)
         flops = _flops_analytic(cp_s)
         flops_xla = _flops_estimate(fg_s, x_s)
         entry = {
@@ -282,6 +292,7 @@ def _run_one_sweep_config(name):
             "dim": cp_s.dim,
             "n_steps": n_steps,
             "ms_per_eval": round(dt_s * 1000, 2),
+            "ms_per_eval_pipelined": round(dt_pipe * 1000, 2),
             "traj_steps_per_s": round(n_steps * k_traj / dt_s, 1),
         }
         if flops:
@@ -289,6 +300,11 @@ def _run_one_sweep_config(name):
             entry["flops_per_s"] = round(flops / dt_s, 1)
             if peak:
                 entry["mfu_vs_bf16_peak"] = round(flops / dt_s / peak, 4)
+                # device-time MFU: the synced number folds in the
+                # per-call launch+sync latency of the tunnel
+                entry["mfu_device_time"] = round(
+                    flops / dt_pipe / peak, 4
+                )
         if flops_xla:
             entry["flops_xla"] = flops_xla
         print("SWEEP_ENTRY " + json.dumps(entry))
@@ -333,7 +349,7 @@ def main():
     # ---- headline: CZ dim=100 taylor fg ---------------------------------
     fg, cp = _build_cz(N_STEPS, dtype=np.complex64)
     x = cp.guess_pulsevals.reshape(-1)
-    dt_accel = _time_fg(fg, x, n_iter=5)
+    dt_accel, dt_pipe = _time_fg(fg, x, n_iter=5, pipelined=True)
     steps_per_s = N_STEPS * K_TRAJ / dt_accel
     headline_flops = _flops_analytic(cp) or _flops_estimate(fg, x)
 
@@ -365,9 +381,16 @@ def main():
         "vs_baseline": vs_baseline,
         "sweep": sweep,
     }
+    out["headline_ms_per_eval_pipelined"] = round(dt_pipe * 1000, 2)
+    out["headline_traj_steps_per_s_pipelined"] = round(
+        N_STEPS * K_TRAJ / dt_pipe, 1
+    )
     if headline_flops and peak:
         out["headline_mfu_vs_bf16_peak"] = round(
             headline_flops / dt_accel / peak, 4
+        )
+        out["headline_mfu_device_time"] = round(
+            headline_flops / dt_pipe / peak, 4
         )
     print(json.dumps(out))
 
