@@ -29,17 +29,47 @@ from .expm import _FACT_INV
 
 __all__ = ["frechet_trace_pallas_shared"]
 
-_PRECISIONS = {
-    # "high" (3-pass bf16, ~2^-21 relative per matmul) is accurate for
-    # this kernel: each step's Fréchet factor is INDEPENDENT — unlike the
-    # forward scan, no error compounds across the N_T steps — and the
-    # trace-reduction output feeds a gradient where ~1e-6 relative noise
-    # is far below the line-search sensitivity.  Measured on-chip:
-    # ~2x the matmul rate of "highest" (6-pass).
-    "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
-    "default": jax.lax.Precision.DEFAULT,
-}
+# "high" (3-pass bf16, ~2^-21 relative per matmul) is accurate for this
+# kernel: each step's Fréchet factor is INDEPENDENT — unlike the forward
+# scan, no error compounds across the N_T steps — and the trace-reduction
+# output feeds a gradient where ~1e-6 relative noise is far below the
+# line-search sensitivity.  Mosaic does not lower Precision.HIGH, so the
+# 3-pass scheme is emulated explicitly: split each f32 operand into bf16
+# hi+lo parts and take the three significant cross products (the lo·lo
+# term is below 2^-16 relative — the pass "highest" adds).
+def _make_dot(precision):
+    if precision == "highest":
+        def dot(a, b):
+            return jnp.dot(
+                a, b, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return dot
+    if precision == "default":
+        def dot(a, b):
+            return jnp.dot(
+                a, b, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+        return dot
+    if precision != "high":
+        raise ValueError(f"unknown precision {precision!r}")
+
+    def dot(a, b):
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        kw = dict(
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        return (
+            jnp.dot(ah, bh, **kw)
+            + (jnp.dot(ah, bl, **kw) + jnp.dot(al, bh, **kw))
+        )
+
+    return dot
 
 
 def _frechet_kernel_shared(
@@ -50,12 +80,7 @@ def _frechet_kernel_shared(
     tjr_ref, tji_ref,                      # out (1, K, LANES) planes
     *, degree, n_squarings, n_terms, n_dirs, precision,
 ):
-    prec = _PRECISIONS[precision]
-
-    def _dot(a, b):
-        return jnp.dot(
-            a, b, preferred_element_type=jnp.float32, precision=prec
-        )
+    _dot = _make_dot(precision)
 
     def _cmatmul(ar, ai, br, bi):
         t1 = _dot(ar, br)
