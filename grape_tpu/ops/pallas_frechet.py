@@ -142,6 +142,10 @@ def _frechet_kernel_shared(
         e_ladder.append((er, ei))
 
     # ---- per-direction Fréchet factor + trace reduction ------------------
+    lanes = tjr_ref.shape[-1]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    rows_r = []
+    rows_i = []
     for k in range(n_dirs):
         # R_k = ψ_k χ_k† (scaled by 2^-s: L(A,B) is linear in B).
         # rows are (1, d); outer product via one rank-1 MXU dot each.
@@ -213,12 +217,23 @@ def _frechet_kernel_shared(
             der = t1r + t2r
             dei = t1i + t2i
 
-        # trace reduction: tr(Op_t·G) = Σ_ab Op_t^T[b,a]·G[b,a]
+        # trace reduction: tr(Op_t·G) = Σ_ab Op_t^T[b,a]·G[b,a]; the
+        # scalars are masked into (1, LANES) rows (Mosaic cannot store
+        # scalars to VMEM)
+        row_r = jnp.zeros((1, lanes), jnp.float32)
+        row_i = jnp.zeros((1, lanes), jnp.float32)
         for t in range(n_terms):
             otr = opstr_ref[t]
             oti = opsti_ref[t]
-            tjr_ref[0, k, t] = jnp.sum(otr * der) - jnp.sum(oti * dei)
-            tji_ref[0, k, t] = jnp.sum(otr * dei) + jnp.sum(oti * der)
+            sr = jnp.sum(otr * der) - jnp.sum(oti * dei)
+            si = jnp.sum(otr * dei) + jnp.sum(oti * der)
+            mask = lane_ids == t
+            row_r = row_r + jnp.where(mask, sr, np.float32(0.0))
+            row_i = row_i + jnp.where(mask, si, np.float32(0.0))
+        rows_r.append(row_r)
+        rows_i.append(row_i)
+    tjr_ref[0] = jnp.concatenate(rows_r, axis=0)
+    tji_ref[0] = jnp.concatenate(rows_i, axis=0)
 
 
 def frechet_trace_pallas_shared(

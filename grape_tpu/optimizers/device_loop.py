@@ -1,0 +1,231 @@
+"""Device-resident optimization loop.
+
+The reverse-communication backends pay one host↔device round trip per
+function/gradient evaluation.  On the axon TPU that round trip costs
+~27-31 ms — for small/medium problems it exceeds the device compute per
+evaluation, capping end-to-end GRAPE at ~20-30 iterations/s regardless of
+kernel speed (measured: experiments/mxu_probe.py ``per_call_floor``; the
+latency is pipelinable, so un-synced dispatches run back-to-back).
+
+This backend runs CHUNKS of optimizer iterations entirely on device: one
+jitted ``lax.scan`` over ``chunk_iters`` optax updates (default
+``optax.lbfgs`` with its zoom line search) with the fg program inlined,
+returning the per-iteration trace (J, J_parts, tau, ψ_T, step widths,
+updates).  The host syncs ONCE per chunk, then replays the trace through
+the normal per-iteration protocol — ``update_result``, callbacks, the
+info table, convergence checks — so the user-visible behavior matches
+the reference's per-iteration contract.  Deviations (documented):
+
+- iterations inside a chunk cannot be interrupted by convergence: the
+  check runs at replay time and surplus iterations are discarded (the
+  returned result is AT the convergence iteration; the discarded device
+  work is the price of batching);
+- a callback that mutates ``wrk.pulsevals`` takes effect at the next
+  CHUNK boundary, not the next iteration (set ``chunk_iters=1`` to
+  recover exact per-iteration mutation semantics);
+- per-iteration ``secs`` is the chunk wall time divided evenly;
+- FG(F) counters use the line-search step count from the optax state.
+
+Box bounds are honored by projection after each update (as in the optax
+backend).  Not supported with ``mesh`` (the chunk program would need its
+own sharding annotations); use the standard backends there.
+"""
+
+import numpy as np
+
+__all__ = ["DeviceLoopBackend"]
+
+
+class DeviceLoopBackend:
+    def __init__(self, transformation=None, chunk_iters=10,
+                 project_bounds=True):
+        import optax
+
+        if transformation is None:
+            transformation = optax.lbfgs()
+        self.tx = optax.with_extra_args_support(transformation)
+        self.chunk_iters = int(chunk_iters)
+        self.project_bounds = project_bounds
+
+    # -- chunk program ------------------------------------------------------
+
+    def _make_chunk(self, wrk):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        fg_j = wrk.fg  # jitted programs compose under jit
+        f_j = wrk.f
+        tx = self.tx
+        n_iters = self.chunk_iters
+
+        @jax.custom_jvp
+        def value_fn(p):
+            return f_j(p)[0]
+
+        @value_fn.defjvp
+        def _value_jvp(primals, tangents):
+            (p,), (t,) = primals, tangents
+            J, grad, _aux = fg_j(p)
+            return J, jnp.vdot(grad, t)
+
+        has_bounds = np.any(np.isfinite(wrk.lower_bounds)) or np.any(
+            np.isfinite(wrk.upper_bounds)
+        )
+        lo = jnp.asarray(wrk.lower_bounds)
+        hi = jnp.asarray(wrk.upper_bounds)
+        project = has_bounds and self.project_bounds
+
+        def _ls_info(state, key, default):
+            import optax.tree_utils as otu
+
+            try:
+                val = otu.tree_get(state, key)
+            except Exception:
+                val = None
+            return default if val is None else val
+
+        @jax.jit
+        def chunk(x, opt_state, J, g):
+            def body(carry, _):
+                x, st, J, g = carry
+                updates, st = tx.update(
+                    g, st, x, value=J, grad=g, value_fn=value_fn
+                )
+                x2 = x + updates
+                if project:
+                    x2 = jnp.clip(x2, lo, hi)
+                J2, g2, aux = fg_j(x2)
+                out = {
+                    "x": x2,
+                    "J": J2,
+                    "g": g2,
+                    "update": x2 - x,
+                    "J_parts": aux["J_parts"],
+                    "tau": aux["tau"],
+                    "psi_T": aux["psi_T"],
+                    "chi_ok": aux["chi_ok"],
+                    "taylor_ok": aux.get("taylor_ok", jnp.asarray(True)),
+                    "alpha": jnp.asarray(
+                        _ls_info(st, "learning_rate", 1.0),
+                        dtype=jnp.float32,
+                    ),
+                    "ls_steps": jnp.asarray(
+                        _ls_info(st, "num_linesearch_steps", 0),
+                        dtype=jnp.int32,
+                    ),
+                }
+                return (x2, st, J2, g2), out
+
+            carry, trace = lax.scan(
+                body, (x, opt_state, J, g), None, length=n_iters
+            )
+            return carry, trace
+
+        return chunk
+
+    # -- driver loop --------------------------------------------------------
+
+    def run(self, wrk, fg, callback, check_convergence):
+        import jax
+        import jax.numpy as jnp
+
+        from ..fg import unpack_complex
+        from ..optimize import apply_convergence_check, update_result
+
+        if wrk.mesh is not None:
+            raise ValueError(
+                "DeviceLoopBackend does not support mesh-sharded runs; "
+                "use the default L-BFGS-B backend with mesh="
+            )
+
+        x = np.asarray(wrk.pulsevals, dtype=np.float64)
+        wrk.pulsevals = x
+        g = np.zeros_like(x)
+
+        # iteration 0 through the standard path (counts, callback, table)
+        J = fg(0.0, g, x)
+        wrk.gradient_guess[:] = g
+        update_result(wrk, 0)
+        rec = callback(wrk, 0)
+        wrk.fg_count[:] = 0
+        if rec:
+            wrk.result.records.append(rec)
+
+        opt_state = self.tx.init(jnp.asarray(x))
+        chunk_cache = {}
+        import time as _time
+
+        while not wrk.result.converged:
+            key = wrk._amp_bucket
+            if key not in chunk_cache:
+                chunk_cache[key] = self._make_chunk(wrk)
+            chunk = chunk_cache[key]
+            t0 = _time.perf_counter()
+            # the carry (incl. the optax state) STAYS on device for the
+            # next chunk; only the per-iteration trace is fetched
+            carry, trace_dev = chunk(
+                jnp.asarray(x), opt_state, jnp.asarray(J), jnp.asarray(g)
+            )
+            trace = jax.device_get(trace_dev)
+            chunk_secs = _time.perf_counter() - t0
+            _x_dev, opt_state, _J_dev, _g_dev = carry
+
+            n = self.chunk_iters
+            per_iter_secs = chunk_secs / max(n, 1)
+            stopped = False
+            for i in range(n):
+                if not bool(trace["chi_ok"][i]):
+                    raise RuntimeError(
+                        "The norm of a state χ(T) is below chi_min_norm: "
+                        "the gradient is zero"
+                    )
+                if not bool(trace["taylor_ok"][i]):
+                    raise RuntimeError(
+                        "Taylor gradient series did not converge within "
+                        "the static order budget; decrease chunk size or "
+                        "supply finite bounds"
+                    )
+                x = np.asarray(trace["x"][i], dtype=np.float64)
+                x_snapshot = x.copy()
+                J = float(trace["J"][i])
+                g = np.asarray(trace["g"][i], dtype=np.float64)
+                wrk.pulsevals = x
+                wrk.gradient[:] = g
+                wrk.J_parts[:] = np.asarray(
+                    trace["J_parts"][i], dtype=np.float64
+                )
+                wrk.tau_vals[:] = unpack_complex(trace["tau"][i])
+                wrk.states = unpack_complex(trace["psi_T"][i])
+                alpha = float(trace["alpha"][i])
+                wrk.alpha = alpha if np.isfinite(alpha) and alpha > 0 \
+                    else 1.0
+                wrk.searchdirection[:] = (
+                    np.asarray(trace["update"][i]) / wrk.alpha
+                )
+                ls = int(trace["ls_steps"][i])
+                wrk.fg_count[0] = 1 + max(ls, 0)
+                wrk.result.fg_calls += 1 + max(ls, 0)
+                it = wrk.result.iter + 1
+                update_result(wrk, it)
+                wrk.result.secs = per_iter_secs
+                rec = callback(wrk, wrk.result.iter)
+                if rec:
+                    wrk.result.records.append(rec)
+                wrk.fg_count[:] = 0
+                apply_convergence_check(wrk.result, check_convergence)
+                wrk.pulsevals_guess[:] = x
+                wrk.gradient_guess[:] = g
+                # callback pulse mutation: takes effect from the next
+                # chunk (re-seed x and re-evaluate there)
+                if not np.array_equal(wrk.pulsevals, x_snapshot):
+                    x = np.asarray(wrk.pulsevals, dtype=np.float64)
+                    J = fg(0.0, g, x)
+                    stopped = True
+                if wrk.result.converged:
+                    stopped = True
+                if stopped:
+                    break
+            # envelope growth between chunks (re-jits the chunk program)
+            wrk._ensure_envelope(x)
+        return None
