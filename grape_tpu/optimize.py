@@ -191,6 +191,13 @@ def _get_optimizer(wrk):
     if opt == "scipy-lbfgsb":
         from .optimizers.scipy_backend import ScipyLBFGSB
         return ScipyLBFGSB(wrk.kwargs)
+    if opt == "device-lbfgs":
+        # device-resident chunked loop: one host sync per chunk_iters
+        # iterations (amortizes the per-call host<->device latency)
+        from .optimizers.device_loop import DeviceLoopBackend
+        return DeviceLoopBackend(
+            chunk_iters=int(wrk.kwargs.get("device_loop_iters", 10)),
+        )
     if type(opt).__module__.startswith("optax") or (
         hasattr(opt, "init") and hasattr(opt, "update")
         and not hasattr(opt, "run")

@@ -1,0 +1,132 @@
+"""Device-resident optimizer loop (optimizer="device-lbfgs").
+
+Chunks of optax-L-BFGS iterations run inside ONE jitted program per
+chunk; the host syncs once per chunk and replays the per-iteration
+protocol (result updates, callbacks, convergence checks).  On the TPU
+platform this amortizes the ~27-31 ms per-call host↔device latency that
+otherwise caps GRAPE iteration rate."""
+
+import numpy as np
+import pytest
+
+from grape_tpu import Trajectory, hamiltonian, optimize
+from grape_tpu.functionals import J_T_sm
+from grape_tpu.shapes import flattop
+
+sz = np.array([[1, 0], [0, -1]], dtype=complex)
+sx = np.array([[0, 1], [1, 0]], dtype=complex)
+
+
+def _tls(n_points=201):
+    def eps(t):
+        return 0.2 * float(flattop(t, T=5, t_rise=0.3, func="blackman"))
+
+    H = hamiltonian(-0.5 * sz, (sx, eps))
+    tlist = np.linspace(0, 5, n_points)
+    return [Trajectory([1, 0], H, target_state=[0, 1])], tlist
+
+
+def test_device_loop_converges_and_reports_iterations():
+    trajs, tlist = _tls()
+    trace = []
+
+    def cb(wrk, iteration):
+        trace.append((iteration, float(wrk.result.J_T)))
+
+    res = optimize(
+        trajs, tlist, J_T=J_T_sm, iter_stop=20,
+        optimizer="device-lbfgs", device_loop_iters=5,
+        callback=cb, print_iters=False, rethrow_exceptions=True,
+    )
+    assert res.J_T < 1e-3
+    # per-iteration protocol: callback fired for every iteration 0..iter
+    assert [it for it, _ in trace] == list(range(res.iter + 1))
+    # fg counters account the per-iteration evaluations
+    assert res.fg_calls >= res.iter
+
+
+def test_device_loop_chunking_invariance():
+    """Chunking must not change the math: chunk_iters=1 (one host sync
+    per iteration) and chunk_iters=4 produce the identical J_T trace and
+    identical optimized controls."""
+    trajs, tlist = _tls(101)
+    kwargs = dict(
+        J_T=J_T_sm, iter_stop=8, print_iters=False,
+        rethrow_exceptions=True, optimizer="device-lbfgs",
+    )
+    tr_1, tr_4 = [], []
+    res_1 = optimize(
+        trajs, tlist, device_loop_iters=1,
+        callback=lambda w, i: tr_1.append(float(w.result.J_T)),
+        **kwargs,
+    )
+    res_4 = optimize(
+        trajs, tlist, device_loop_iters=4,
+        callback=lambda w, i: tr_4.append(float(w.result.J_T)),
+        **kwargs,
+    )
+    assert len(tr_4) == len(tr_1) == 9
+    np.testing.assert_allclose(tr_4, tr_1, rtol=1e-9, atol=1e-12)
+    for c_4, c_1 in zip(res_4.optimized_controls, res_1.optimized_controls):
+        np.testing.assert_allclose(c_4, c_1, atol=1e-9)
+    # and the trajectory is the healthy L-BFGS one: strict decrease to
+    # deep convergence (the reference's TLS anchor reaches <1e-3 in 5)
+    assert tr_4[5] < 1e-3
+
+
+def test_device_loop_convergence_check_discards_surplus():
+    """Convergence inside a chunk: the result stops AT the convergence
+    iteration; surplus device iterations are discarded."""
+    trajs, tlist = _tls()
+    res = optimize(
+        trajs, tlist, J_T=J_T_sm, iter_stop=50,
+        optimizer="device-lbfgs", device_loop_iters=7,
+        check_convergence=lambda r: (
+            "J_T < 10⁻³" if r.J_T < 1e-3 else ""
+        ),
+        print_iters=False, rethrow_exceptions=True,
+    )
+    assert res.converged
+    assert res.message == "J_T < 10⁻³"
+    assert res.J_T < 1e-3
+    # the reported pulse belongs to the convergence iterate
+    from grape_tpu.controls import discretize_on_midpoints
+    from grape_tpu.fg import build_fg, compile_problem
+
+    cp = compile_problem(trajs, tlist, J_T=J_T_sm)
+    x = np.concatenate([
+        discretize_on_midpoints(c, tlist) for c in res.optimized_controls
+    ])
+    J_check, _, _ = build_fg(cp)(x)
+    np.testing.assert_allclose(float(J_check), res.J_T, atol=1e-9)
+
+
+def test_device_loop_bounds_projection():
+    trajs, tlist = _tls()
+    res = optimize(
+        trajs, tlist, J_T=J_T_sm, iter_stop=25,
+        optimizer="device-lbfgs", device_loop_iters=5,
+        lower_bound=-0.5, upper_bound=0.5,
+        print_iters=False, rethrow_exceptions=True,
+    )
+    from grape_tpu.controls import discretize_on_midpoints
+
+    pulse = discretize_on_midpoints(res.optimized_controls[0], tlist)
+    assert np.max(np.abs(pulse)) <= 0.5 + 1e-12
+    assert res.J_T < 0.5
+
+
+def test_device_loop_rejects_mesh():
+    import jax
+
+    from grape_tpu.parallel import make_mesh
+
+    assert len(jax.devices()) >= 2
+    trajs, tlist = _tls()
+    trajs = trajs * 2
+    with pytest.raises(Exception, match="mesh"):
+        optimize(
+            trajs, tlist, J_T=J_T_sm, iter_stop=2,
+            optimizer="device-lbfgs", mesh=make_mesh(2),
+            print_iters=False, rethrow_exceptions=True,
+        )
