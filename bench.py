@@ -313,7 +313,37 @@ def _run_one_sweep_config(name):
 
 
 def _run_sweep():
-    """Run the sweep configs in killable subprocesses under a budget."""
+    """Run the sweep configs in killable subprocesses under a budget.
+
+    ``GRAPE_BENCH_INPROCESS=1`` runs them in THIS process instead: the
+    axon platform's large first-execution queue is paid once per process
+    (measured: ~100-530 s for the first program, ~5-30 s for every
+    subsequent one), so in-process sweeps are far cheaper — at the cost
+    of no per-config kill switch."""
+    if os.environ.get("GRAPE_BENCH_INPROCESS", "") == "1":
+        sweep = []
+        t0 = time.perf_counter()
+        for name, _build, _n, _k in _sweep_configs():
+            if time.perf_counter() - t0 > SWEEP_BUDGET_S:
+                sweep.append({"config": name, "skipped": "budget"})
+                continue
+            try:
+                import contextlib
+                import io as _io
+
+                buf = _io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    _run_one_sweep_config(name)
+                entry = None
+                for line in buf.getvalue().splitlines():
+                    if line.startswith("SWEEP_ENTRY "):
+                        entry = json.loads(line[len("SWEEP_ENTRY "):])
+                sweep.append(
+                    entry or {"config": name, "skipped": "no entry"}
+                )
+            except Exception as exc:
+                sweep.append({"config": name, "skipped": f"{exc}"[:120]})
+        return sweep
     sweep = []
     t0 = time.perf_counter()
     for name, _build, _n, _k in _sweep_configs():
