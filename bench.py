@@ -398,6 +398,33 @@ def main():
     except Exception:
         vs_baseline = None
 
+    # ---- best-method headline: gradgen + fused Fréchet-trace kernel ----
+    # (round 3: beats the taylor path on the CZ config; the primary
+    # headline stays taylor for cross-round comparability)
+    best = None
+    try:
+        fg_g, cp_g = _build_cz(
+            N_STEPS, dtype=np.complex64, gradient_method="gradgen"
+        )
+        dt_g, dt_g_pipe = _time_fg(
+            fg_g, cp_g.guess_pulsevals.reshape(-1), n_iter=5,
+            pipelined=True,
+        )
+        flops_g = _flops_analytic(cp_g)
+        best = {
+            "method": "gradgen+pallas_frechet",
+            "ms_per_eval": round(dt_g * 1000, 2),
+            "ms_per_eval_pipelined": round(dt_g_pipe * 1000, 2),
+            "traj_steps_per_s": round(N_STEPS * K_TRAJ / dt_g, 1),
+        }
+        if flops_g and peak:
+            best["mfu_vs_bf16_peak"] = round(flops_g / dt_g / peak, 4)
+            best["mfu_device_time"] = round(
+                flops_g / dt_g_pipe / peak, 4
+            )
+    except Exception:
+        pass
+
     # ---- dim sweep (killable subprocesses, hard budget) ------------------
     sweep = _run_sweep()
 
@@ -411,6 +438,8 @@ def main():
         "vs_baseline": vs_baseline,
         "sweep": sweep,
     }
+    if best is not None:
+        out["headline_best"] = best
     out["headline_ms_per_eval_pipelined"] = round(dt_pipe * 1000, 2)
     out["headline_traj_steps_per_s_pipelined"] = round(
         N_STEPS * K_TRAJ / dt_pipe, 1
