@@ -397,6 +397,10 @@ def main():
         vs_baseline = round(steps_per_s / cpu_steps_per_s, 2)
     except Exception:
         vs_baseline = None
+    finally:
+        # x64 left enabled poisons every LATER TPU compile in this
+        # process (f64 types SIGABRT the platform's compile helper)
+        jax.config.update("jax_enable_x64", False)
 
     # ---- best-method headline: gradgen + fused Fréchet-trace kernel ----
     # (round 3: beats the taylor path on the CZ config; the primary

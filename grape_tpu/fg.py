@@ -48,6 +48,10 @@ from .ops.pallas_prop import (
 
 __all__ = ["CompiledProblem", "compile_problem", "build_fg", "build_f"]
 
+# dimension gate for the static-operator H-apply decomposition in the
+# vectorized taylor backward (module-level so benchmarks can A/B it)
+_STATIC_H_MIN_DIM = 128
+
 
 @dataclass
 class CompiledProblem:
@@ -1562,7 +1566,7 @@ def _backward_vectorized(cp: CompiledProblem, tables, storage, chis,
     # dispatch) dominate.
     T_terms = int(np.asarray(cp.M).shape[-2])
     static_h = (
-        cp.dim >= 128
+        cp.dim >= _STATIC_H_MIN_DIM
         and (T_terms + 1) * cp.n_traj * (cp.n_controls + 1) <= 256
     )
     if cp.shared_generator:
