@@ -115,13 +115,30 @@ def shard_problem(cp: CompiledProblem, mesh, axis=None):
     m_sharding = traj_sharding if cp.per_traj_coeffs else repl
     return dataclasses.replace(
         cp,
-        psi0=jax.device_put(cp.psi0, traj_sharding),
-        H0=jax.device_put(cp.H0, op_sharding),
-        ops=jax.device_put(cp.ops, op_sharding),
-        M=jax.device_put(jnp.asarray(cp.M), m_sharding),
-        Mfix=jax.device_put(jnp.asarray(cp.Mfix), m_sharding),
-        tlist=jax.device_put(jnp.asarray(cp.tlist), repl),
+        psi0=_put(cp.psi0, traj_sharding),
+        H0=_put(cp.H0, op_sharding),
+        ops=_put(cp.ops, op_sharding),
+        M=_put(np.asarray(cp.M), m_sharding),
+        Mfix=_put(np.asarray(cp.Mfix), m_sharding),
+        tlist=_put(np.asarray(cp.tlist), repl),
     )
+
+
+def _put(x, sharding):
+    """``jax.device_put`` that works for complex arrays on platforms
+    whose host→device transfers are unimplemented for complex dtypes
+    (the axon TPU): the real/imag planes transfer separately and a tiny
+    jitted program assembles the complex array on device."""
+    x = np.asarray(x)
+    if not np.issubdtype(x.dtype, np.complexfloating):
+        return jax.device_put(x, sharding)
+    re = jax.device_put(np.ascontiguousarray(x.real), sharding)
+    im = jax.device_put(np.ascontiguousarray(x.imag), sharding)
+    cdtype = x.dtype
+    assemble = jax.jit(
+        lambda a, b: (a + 1j * b).astype(cdtype), out_shardings=sharding
+    )
+    return assemble(re, im)
 
 
 def build_fg_sharded(cp: CompiledProblem, mesh, axis=None, amp_max=None,

@@ -292,9 +292,23 @@ class GrapeWrk:
             np.abs(np.reshape(np.asarray(x), (-1, N_T))), axis=1
         )
         if np.any(amps > np.asarray(self._amp_bucket)):
-            self._amp_bucket = self._bucket_for(
-                np.maximum(amps, np.asarray(self._amp_bucket))
-            )
+            # prefer an already-(pre)warmed bucket that covers the new
+            # amplitudes: an envelope over-estimate is mathematically
+            # exact, and the swap is free — without this, an optimizer
+            # step overshooting the predicted next bucket would pay a
+            # fresh compile despite the warm program in the cache
+            warmed = [
+                k for k in list(self._program_cache) + (
+                    [self._warm_key] if self._warm_key else []
+                )
+                if k is not None and np.all(amps <= np.asarray(k))
+            ]
+            if warmed:
+                self._amp_bucket = min(warmed, key=lambda k: max(k))
+            else:
+                self._amp_bucket = self._bucket_for(
+                    np.maximum(amps, np.asarray(self._amp_bucket))
+                )
             self.fg, self.f = self._programs()
             # keep one bucket of headroom warm for the next growth
             self._start_prewarm()
