@@ -91,10 +91,20 @@ def traj_axes(mesh):
 
 
 def shard_problem(cp: CompiledProblem, mesh, axis=None):
-    """Place the per-trajectory arrays of a compiled problem on `mesh`,
-    sharded along ``K``.  ``K`` must be divisible by the mesh size.
-    For a 2D ``(host, chip)`` mesh the trajectory axis shards over both
-    mesh axes."""
+    """Place the per-trajectory COMPLEX arrays of a compiled problem on
+    `mesh`, sharded along ``K``.  ``K`` must be divisible by the mesh
+    size.  For a 2D ``(host, chip)`` mesh the trajectory axis shards over
+    both mesh axes.
+
+    The real coefficient tables (M, Mfix, tlist) stay host-side numpy:
+    they are small, enter the programs as replicated constants, and the
+    host-side envelope/bound machinery reads them with numpy.  The
+    complex arrays become device-resident (real/imag planes transferred
+    separately — complex host↔device transfers are unimplemented on the
+    axon platform — and assembled on device) and are passed to the
+    sharded programs as ARGUMENTS: a complex device array captured as a
+    closure constant would need a device→host read-back at trace time
+    (also unimplemented)."""
     n_dev = mesh.devices.size
     if cp.n_traj % n_dev != 0:
         raise ValueError(
@@ -111,16 +121,11 @@ def shard_problem(cp: CompiledProblem, mesh, axis=None):
     # with a shared generator the programs slice H0[0]/ops[0]: replicate
     # the operator arrays so the slice is local on every device
     op_sharding = repl if cp.shared_generator else traj_sharding
-    # per-trajectory coefficient tables carry a leading K axis: shard it
-    m_sharding = traj_sharding if cp.per_traj_coeffs else repl
     return dataclasses.replace(
         cp,
         psi0=_put(cp.psi0, traj_sharding),
         H0=_put(cp.H0, op_sharding),
         ops=_put(cp.ops, op_sharding),
-        M=_put(np.asarray(cp.M), m_sharding),
-        Mfix=_put(np.asarray(cp.Mfix), m_sharding),
-        tlist=_put(np.asarray(cp.tlist), repl),
     )
 
 
@@ -141,6 +146,40 @@ def _put(x, sharding):
     return assemble(re, im)
 
 
+_DEVICE_ARRAY_FIELDS = ("psi0", "H0", "ops")
+
+
+def _build_sharded(build, cp, mesh, axis, amp_max, presharded, n_out):
+    """Common wrapper: the sharded complex problem arrays enter the
+    jitted program as arguments (traced), everything else as host
+    constants; outputs are fully reduced (replicated)."""
+    import dataclasses
+
+    from .. import fg as _fg
+
+    if not presharded:
+        cp = shard_problem(cp, mesh, axis=axis)
+    dev = {name: getattr(cp, name) for name in _DEVICE_ARRAY_FIELDS}
+    # host-side envelope machinery must run OUTSIDE the trace
+    _fg._warm_env_cache(cp, amp_max)
+    repl = NamedSharding(mesh, P())
+    in_shardings = (repl, {k: v.sharding for k, v in dev.items()})
+    out_shardings = (repl,) * n_out + (None,)
+
+    def call(pulsevals, arrs):
+        cp_t = dataclasses.replace(cp, **arrs)
+        return build(cp_t, amp_max=amp_max)(pulsevals)
+
+    prog = jax.jit(
+        call, in_shardings=in_shardings, out_shardings=out_shardings
+    )
+
+    def wrapped(pulsevals):
+        return prog(pulsevals, dev)
+
+    return wrapped, cp
+
+
 def build_fg_sharded(cp: CompiledProblem, mesh, axis=None, amp_max=None,
                      presharded=False):
     """The jitted fg program with explicit shardings: pulse vector
@@ -149,33 +188,17 @@ def build_fg_sharded(cp: CompiledProblem, mesh, axis=None, amp_max=None,
     through the scans and inserts the cross-trajectory ``psum`` collectives
     for the ``Σ_k`` reductions.  With ``presharded``, ``cp``'s arrays
     already live on the mesh (skips the device_put)."""
-    if not presharded:
-        cp = shard_problem(cp, mesh, axis=axis)
-    fg = build_fg(cp, amp_max=amp_max)
-    repl = NamedSharding(mesh, P())
-
-    fg_sharded = jax.jit(
-        lambda pulsevals: fg(pulsevals),
-        in_shardings=repl,
-        out_shardings=(repl, repl, None),
+    return _build_sharded(
+        build_fg, cp, mesh, axis, amp_max, presharded, n_out=2
     )
-    return fg_sharded, cp
 
 
 def build_f_sharded(cp: CompiledProblem, mesh, axis=None, amp_max=None,
                     presharded=False):
     """Sharded functional-only program (line-search F probes)."""
-    if not presharded:
-        cp = shard_problem(cp, mesh, axis=axis)
-    f = build_f(cp, amp_max=amp_max)
-    repl = NamedSharding(mesh, P())
-
-    f_sharded = jax.jit(
-        lambda pulsevals: f(pulsevals),
-        in_shardings=repl,
-        out_shardings=(repl, None),
+    return _build_sharded(
+        build_f, cp, mesh, axis, amp_max, presharded, n_out=1
     )
-    return f_sharded, cp
 
 
 def ensemble_trajectories(base_trajectory, generators, weights=None):
