@@ -177,11 +177,13 @@ def _sweep_configs():
         return build_fg(cp), cp
 
     return [
+        # ordered by evidence value: the budget cuts from the tail
         ("cz_optimize_iters", None, 800, 4),  # end-to-end GRAPE iters/s
+        ("dim100_cz_gradgen", lambda: cz(10, 800, "gradgen", "expprop"),
+         800, 4),  # fused Fréchet kernel MFU row
         ("ensemble1024_qutrit_taylor", lambda: ensemble(1024, 400),
          400, 1024),  # BASELINE config 5 (small-dim lane kernel)
-        ("dim100_cz_gradgen", lambda: cz(10, 800, "gradgen", "expprop"),
-         800, 4),
+        ("cz_device_loop_iters", None, 800, 4),  # device-resident loop
         ("dim16_cz_taylor", lambda: cz(4, 400, "taylor", "expprop"),
          400, 4),
         ("dim256_cz_cheby_taylor",
@@ -243,6 +245,63 @@ def _optimize_iters_entry(name):
     }
 
 
+def _device_loop_iters_entry(name):
+    """End-to-end GRAPE iterations/s with the DEVICE-RESIDENT optimizer
+    loop (``optimizer="device-lbfgs"``): chunks of optax-L-BFGS iterations
+    run inside one jitted scan with fg inlined, one host sync per chunk —
+    the round-3 answer to the ~27-31 ms per-call host↔device floor that
+    caps any reverse-communication optimizer at ~20-30 iters/s here.
+    Steady state excludes the first chunk (program compile + first-exec
+    queue): rate = iterations after the first chunk boundary / wall time
+    after it.  ``fg_evals_per_s`` counts line-search probes (honest
+    work-rate; the optax zoom line search costs >1 fg per iteration)."""
+    from grape_tpu import optimize_problem
+    from grape_tpu.models import two_transmon_cz_problem
+
+    problem = two_transmon_cz_problem(d=10, n_steps=800, T=50.0)
+    chunk = 16
+    stamps = []
+
+    def cb(wrk, iteration):
+        stamps.append((iteration, time.perf_counter(),
+                       int(wrk.result.fg_calls)))
+
+    res = optimize_problem(
+        problem, dtype=np.complex64, gradient_method="gradgen",
+        optimizer="device-lbfgs", device_loop_iters=chunk,
+        # finite bounds => bound-derived amplitude envelope: no mid-chunk
+        # envelope growth, and the loop projects onto the box after each
+        # update (10x the guess amplitude E0=0.05 — never active here)
+        upper_bound=0.5, lower_bound=-0.5,
+        iter_stop=4 * chunk, callback=cb, print_iters=False,
+        rethrow_exceptions=True,
+    )
+    # stamps at iterations inside a chunk replay in a burst; the chunk
+    # boundaries carry the device time.  Steady window: from the last
+    # stamp of chunk 1 (iteration == chunk) to the final stamp.
+    t_by_iter = {it: t for it, t, _ in stamps}
+    fg_by_iter = {it: c for it, _, c in stamps}
+    last_it = stamps[-1][0]
+    entry = {
+        "config": name,
+        "dim": 100,
+        "n_steps": 800,
+        "iters": int(res.iter),
+        "fg_calls": int(res.fg_calls),
+        "J_T": round(float(res.J_T), 6),
+        "chunk_iters": chunk,
+    }
+    if last_it > chunk and chunk in t_by_iter:
+        dt = t_by_iter[last_it] - t_by_iter[chunk]
+        n_it = last_it - chunk
+        n_fg = fg_by_iter[last_it] - fg_by_iter[chunk]
+        entry["grape_iters_per_s"] = round(n_it / max(dt, 1e-9), 2)
+        entry["fg_evals_per_s"] = round(n_fg / max(dt, 1e-9), 2)
+    else:  # converged inside the first chunk: no steady window
+        entry["grape_iters_per_s"] = None
+    return entry
+
+
 def _sharded_overhead_entry(name):
     """Sharded-vs-unsharded fg on a ONE-device mesh (the hardware we
     have): same math, same chip — the delta is the cost of SPMD
@@ -274,6 +333,9 @@ def _run_one_sweep_config(name):
     """Subprocess entry: run one sweep config, print its JSON entry."""
     if name == "cz_optimize_iters":
         print("SWEEP_ENTRY " + json.dumps(_optimize_iters_entry(name)))
+        return
+    if name == "cz_device_loop_iters":
+        print("SWEEP_ENTRY " + json.dumps(_device_loop_iters_entry(name)))
         return
     if name == "sharded_1dev_overhead":
         print("SWEEP_ENTRY " + json.dumps(_sharded_overhead_entry(name)))
@@ -313,18 +375,32 @@ def _run_one_sweep_config(name):
 
 
 def _run_sweep():
-    """Run the sweep configs in killable subprocesses under a budget.
+    """Run the sweep configs under a hard wall-clock budget.
 
-    ``GRAPE_BENCH_INPROCESS=1`` runs them in THIS process instead: the
-    axon platform's large first-execution queue is paid once per process
-    (measured: ~100-530 s for the first program, ~5-30 s for every
-    subsequent one), so in-process sweeps are far cheaper — at the cost
-    of no per-config kill switch."""
-    if os.environ.get("GRAPE_BENCH_INPROCESS", "") == "1":
+    Two modes.  IN-PROCESS (default on accelerators): the axon platform's
+    large first-execution queue is paid once per process (measured:
+    ~100-530 s for the first program, ~5-30 s for every subsequent one),
+    so running the sweep in this process — which already paid the queue
+    for the headline — costs seconds per config, where a subprocess per
+    config pays its own 100-530 s queue and times out (observed live:
+    every config skipped).  SUBPROCESS (default on CPU, or
+    ``GRAPE_BENCH_INPROCESS=0``): killable per-config with a hard
+    timeout."""
+    inproc_env = os.environ.get("GRAPE_BENCH_INPROCESS", "")
+    inproc = (
+        inproc_env == "1"
+        or (inproc_env != "0" and jax.devices()[0].platform != "cpu")
+    )
+    if inproc:
+        # in-process entries cost seconds, not a 100-530 s queue each:
+        # afford the full sweep unless the user pinned a budget
+        budget = SWEEP_BUDGET_S
+        if "GRAPE_BENCH_SWEEP_BUDGET" not in os.environ:
+            budget = 900.0
         sweep = []
         t0 = time.perf_counter()
         for name, _build, _n, _k in _sweep_configs():
-            if time.perf_counter() - t0 > SWEEP_BUDGET_S:
+            if time.perf_counter() - t0 > budget:
                 sweep.append({"config": name, "skipped": "budget"})
                 continue
             try:

@@ -14,12 +14,28 @@ propagators, here the pulse vector is simply the argument of the jitted
 passes the current vector to the device program.
 """
 
+import atexit
+import weakref
+
 import jax
 import numpy as np
 
 from .controls import discretize_on_midpoints
 from .fg import build_f, build_fg, compile_problem, unpack_complex
 from .result import GrapeResult
+
+# Background envelope-prewarm threads still alive at interpreter exit.
+# Joined from an atexit hook: if the interpreter tears down while a
+# daemon thread is inside an XLA compile, C++ static destructors run
+# under the thread's feet ("pure virtual method called" abort).
+_LIVE_PREWARM_THREADS = weakref.WeakSet()
+
+
+@atexit.register
+def _join_prewarm_threads_at_exit():
+    for t in list(_LIVE_PREWARM_THREADS):
+        if t.is_alive():
+            t.join()
 
 __all__ = [
     "GrapeWrk", "step_width", "search_direction", "norm_search",
@@ -245,6 +261,7 @@ class GrapeWrk:
         self._warm_thread = threading.Thread(
             target=warm, name="grape-envelope-prewarm", daemon=True
         )
+        _LIVE_PREWARM_THREADS.add(self._warm_thread)
         self._warm_thread.start()
 
     def _join_prewarm(self, key=None):
