@@ -81,6 +81,45 @@ def test_prewarm_correctness_of_warmed_program():
     )
 
 
+def test_clean_interpreter_exit_with_prewarm_in_flight():
+    """Interpreter exit while a background pre-warm compile is running
+    must not abort ("pure virtual method called"): the atexit hook joins
+    live prewarm threads before C++ static destructors run."""
+    import subprocess
+    import sys
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from grape_tpu import Trajectory, hamiltonian
+from grape_tpu.functionals import J_T_sm
+from grape_tpu.shapes import flattop
+from grape_tpu.workspace import GrapeWrk
+
+def eps(t):
+    return 0.2 * float(flattop(t, T=5, t_rise=0.3, func="blackman"))
+
+sz = np.array([[1, 0], [0, -1]], dtype=complex)
+sx = np.array([[0, 1], [1, 0]], dtype=complex)
+H = hamiltonian(-0.5 * sz, (sx, eps))
+tlist = np.linspace(0, 5, 101)
+wrk = GrapeWrk([Trajectory([1, 0], H, target_state=[0, 1])], tlist,
+               dict(J_T=J_T_sm, prop_method="cheby",
+                    gradient_method="taylor"))
+wrk.evaluate_gradient(wrk.pulsevals.copy())  # kicks off the prewarm
+assert wrk._warm_thread is not None
+print("EXITING_WITH_PREWARM_ALIVE")
+# exit immediately: the daemon thread is (likely) mid-XLA-compile
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=600,
+    )
+    assert "EXITING_WITH_PREWARM_ALIVE" in proc.stdout, proc.stderr
+    assert proc.returncode == 0, (proc.returncode, proc.stderr[-2000:])
+
+
 def test_no_prewarm_when_bounds_cap_envelope():
     """Bound-derived envelopes can never be exceeded: nothing to warm."""
     trajs, tlist = _tls_trajs()
