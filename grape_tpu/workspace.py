@@ -213,7 +213,7 @@ class GrapeWrk:
         self._bucket_capped = capped  # restore the CURRENT bucket's mask
         return key
 
-    def _start_prewarm(self, block=None):
+    def _start_prewarm(self, block=None, post_growth=False):
         """Build AND execute the next bucket's programs, so a mid-run
         envelope growth swaps to an already-warm program instead of
         paying compile + the first-execution cost.
@@ -223,7 +223,15 @@ class GrapeWrk:
         server-side queue cost that a background thread could not hide
         (device dispatches serialize): paying it inside the iteration-0
         window keeps every later iteration stall-free.  Elsewhere (CPU,
-        or subsequent growths) a daemon thread warms in the background."""
+        or subsequent growths) a daemon thread warms in the background.
+
+        ``post_growth=True`` marks re-warms triggered by an envelope
+        growth.  On the TPU platform these are SKIPPED: the queue cost
+        cannot be hidden (above), so eagerly warming bucket+2 right
+        after a growth stalls an iteration 5-30 s for a program that is
+        usually never needed — a lazy growth pays exactly the same cost
+        and only when real (measured: eager re-warm capped the CZ bench
+        at 0.46 iters/s incl. the stall vs ~20 steady)."""
         if not self._prewarm or self._amp_bucket is None:
             return
         key = self._next_bucket_key()
@@ -234,7 +242,10 @@ class GrapeWrk:
         import threading
 
         if block is None:
-            block = jax.devices()[0].platform == "tpu"
+            on_tpu = jax.devices()[0].platform == "tpu"
+            if post_growth and on_tpu:
+                return
+            block = on_tpu
         if self._program_lock is None:
             self._program_lock = threading.Lock()
         self._warm_key = key
@@ -328,7 +339,8 @@ class GrapeWrk:
                 )
             self.fg, self.f = self._programs()
             # keep one bucket of headroom warm for the next growth
-            self._start_prewarm()
+            # (skipped on TPU — see _start_prewarm(post_growth=...))
+            self._start_prewarm(post_growth=True)
 
     # -- device evaluation entry points ------------------------------------
 
