@@ -165,6 +165,24 @@ def _sweep_configs():
         )
         return build_fg(cp), cp
 
+    def subspace_gate(d, n_basis, n_steps, T):
+        # fat-batch gate synthesis: K=n_basis basis states, ONE shared
+        # generator -> the per-term H-apply is a (K, dim)@(dim, dim)
+        # MXU matmul (measured 15.4% MFU at K=64/dim=1024 vs ~1.3% for
+        # the thin K=4 CZ; experiments/r3_dim1024_probe.py)
+        from grape_tpu.models import two_transmon_subspace_gate_problem
+
+        problem = two_transmon_subspace_gate_problem(
+            d=d, n_basis=n_basis, n_steps=n_steps, T=T
+        )
+        kw = dict(problem.kwargs)
+        kw["prop_method"] = "cheby"
+        cp = compile_problem(
+            problem.trajectories, problem.tlist, dtype=np.complex64,
+            gradient_method="taylor", **kw
+        )
+        return build_fg(cp), cp
+
     def ensemble(K, n_steps):
         from grape_tpu.models import transmon_ensemble_trajectories
 
@@ -190,6 +208,10 @@ def _sweep_configs():
          lambda: cz(16, 200, "taylor", "cheby", T=5.0), 200, 4),
         ("dim1024_cz_cheby_taylor",
          lambda: cz(32, 100, "taylor", "cheby", T=1.0), 100, 4),
+        # fat-batch regime: K=64 basis-state trajectories under one
+        # shared generator — packs the MXU rows the K=4 CZ leaves empty
+        ("dim1024_subspace_gate_K64",
+         lambda: subspace_gate(32, 64, 100, 1.0), 100, 64),
         # large-dim gradgen (extended-state cheby gradient generator,
         # VERDICT round-2 item 7)
         ("dim256_cz_cheby_gradgen",

@@ -145,6 +145,24 @@ def main():
             lambda: build_cz(32, 100, "gradgen", "cheby", T=1.0), 100, 4,
             n=3,
         )
+    if want("dim1024_subspace_K64"):
+        # fat-batch regime: K=64 basis-state trajectories, one shared
+        # generator -> (64, 1024)@(1024, 1024) term matvecs
+        def build_subspace():
+            from grape_tpu.models import two_transmon_subspace_gate_problem
+
+            problem = two_transmon_subspace_gate_problem(
+                d=32, n_basis=64, n_steps=100, T=1.0
+            )
+            kw = dict(problem.kwargs)
+            kw["prop_method"] = "cheby"
+            cp = compile_problem(
+                problem.trajectories, problem.tlist, dtype=np.complex64,
+                gradient_method="taylor", **kw
+            )
+            return build_fg(cp), cp
+
+        entry("dim1024_subspace_K64", build_subspace, 100, 64, n=3)
 
 
 if __name__ == "__main__":

@@ -89,6 +89,40 @@ def test_graft_entry():
     g.dryrun_multichip(8)
 
 
+def test_two_transmon_subspace_gate_problem():
+    """Fat-batch gate synthesis: K = n_basis basis states under ONE
+    shared generator toward a seeded random subspace unitary — the
+    MXU-row-packing regime measured in experiments/r3_dim1024_probe.py
+    (K=64 runs the dim-1024 cheby term chain at 15.4% MFU where the
+    K=4 CZ is geometry-bound at ~1.3%), here at reduced size."""
+    from grape_tpu.models import two_transmon_subspace_gate_problem
+    from grape_tpu.fg import compile_problem
+
+    problem = two_transmon_subspace_gate_problem(
+        d=3, n_basis=6, n_steps=50, T=10.0, E0=0.2, J=0.3,
+    )
+    cp = compile_problem(problem.trajectories, problem.tlist,
+                         **problem.kwargs)
+    assert cp.shared_generator and cp.n_traj == 6 and cp.dim == 9
+    # targets are the unitary image of the basis: orthonormal columns
+    targets = np.stack([t.target_state for t in problem.trajectories])
+    np.testing.assert_allclose(
+        targets.conj() @ targets.T, np.eye(6), atol=1e-12
+    )
+    # seeded: same problem twice -> identical targets
+    problem2 = two_transmon_subspace_gate_problem(
+        d=3, n_basis=6, n_steps=50, T=10.0, E0=0.2, J=0.3,
+    )
+    targets2 = np.stack([t.target_state for t in problem2.trajectories])
+    np.testing.assert_allclose(targets, targets2, atol=0)
+    Js = []
+    res = optimize_problem(
+        problem, iter_stop=30, print_iters=False, rethrow_exceptions=True,
+        callback=lambda wrk, it: Js.append(wrk.result.J_T),
+    )
+    assert res.iter >= 10 and res.J_T < 0.35 * Js[0]
+
+
 def test_tls_xgate_problem():
     """BASELINE config 2: TLS X-gate over the tomography-complete basis
     {|0>, |1>, |+>, |+i>} with a fluence running cost; shared-generator
