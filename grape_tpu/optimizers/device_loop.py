@@ -27,8 +27,12 @@ the reference's per-iteration contract.  Deviations (documented):
 - FG(F) counters use the line-search step count from the optax state.
 
 Box bounds are honored by projection after each update (as in the optax
-backend).  Not supported with ``mesh`` (the chunk program would need its
-own sharding annotations); use the standard backends there.
+backend).  Under ``mesh=...`` the chunk program is built with explicit
+shardings (pulse vector / optimizer state replicated, problem arrays
+sharded along the trajectory axis as placed by ``shard_problem``) — the
+sweet spot of this backend: a sharded ensemble pays ONE host sync per
+chunk instead of one per line-search probe, and the psum-reduced
+gradient feeds the on-device L-BFGS update directly.
 """
 
 import numpy as np
@@ -54,20 +58,55 @@ class DeviceLoopBackend:
         import jax.numpy as jnp
         from jax import lax
 
-        fg_j = wrk.fg  # jitted programs compose under jit
-        f_j = wrk.f
         tx = self.tx
         n_iters = self.chunk_iters
 
-        @jax.custom_jvp
-        def value_fn(p):
-            return f_j(p)[0]
+        if wrk.mesh is not None:
+            # sharded chunk: rebuild fg/f inside the traced program with
+            # the problem arrays as sharded ARGUMENTS (the same pattern
+            # as parallel.mesh._build_sharded — a complex device array
+            # captured as a closure constant would need an unimplemented
+            # device->host read-back at trace time on this platform)
+            import dataclasses
 
-        @value_fn.defjvp
-        def _value_jvp(primals, tangents):
-            (p,), (t,) = primals, tangents
-            J, grad, _aux = fg_j(p)
-            return J, jnp.vdot(grad, t)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..fg import _warm_env_cache, build_f, build_fg
+            from ..parallel.mesh import _DEVICE_ARRAY_FIELDS
+
+            cp = wrk.cp
+            key = wrk._amp_bucket
+            amp_max = np.asarray(key) if key is not None else None
+            _warm_env_cache(cp, amp_max)
+            dev = {k: getattr(cp, k) for k in _DEVICE_ARRAY_FIELDS}
+            repl = NamedSharding(wrk.mesh, P())
+
+            def fg_j(p, arrs):
+                cp_t = dataclasses.replace(cp, **arrs)
+                return build_fg(cp_t, amp_max=amp_max)(p)
+
+            def f_j(p, arrs):
+                cp_t = dataclasses.replace(cp, **arrs)
+                return build_f(cp_t, amp_max=amp_max)(p)
+
+            jit_kwargs = dict(
+                in_shardings=(
+                    repl, repl, repl, repl,
+                    {k: v.sharding for k, v in dev.items()},
+                ),
+                out_shardings=repl,
+            )
+        else:
+            fg_w, f_w = wrk.fg, wrk.f  # jitted programs compose under jit
+
+            def fg_j(p, arrs):
+                return fg_w(p)
+
+            def f_j(p, arrs):
+                return f_w(p)
+
+            dev = None
+            jit_kwargs = {}
 
         has_bounds = np.any(np.isfinite(wrk.lower_bounds)) or np.any(
             np.isfinite(wrk.upper_bounds)
@@ -85,8 +124,19 @@ class DeviceLoopBackend:
                 val = None
             return default if val is None else val
 
-        @jax.jit
-        def chunk(x, opt_state, J, g):
+        def chunk_fn(x, opt_state, J, g, arrs):
+            # defined inside the trace so the line-search value/grad
+            # closures see the (possibly sharded, traced) problem arrays
+            @jax.custom_jvp
+            def value_fn(p):
+                return f_j(p, arrs)[0]
+
+            @value_fn.defjvp
+            def _value_jvp(primals, tangents):
+                (p,), (t,) = primals, tangents
+                J_, grad, _aux = fg_j(p, arrs)
+                return J_, jnp.vdot(grad, t)
+
             def body(carry, _):
                 x, st, J, g = carry
                 updates, st = tx.update(
@@ -95,7 +145,7 @@ class DeviceLoopBackend:
                 x2 = x + updates
                 if project:
                     x2 = jnp.clip(x2, lo, hi)
-                J2, g2, aux = fg_j(x2)
+                J2, g2, aux = fg_j(x2, arrs)
                 out = {
                     "x": x2,
                     "J": J2,
@@ -122,7 +172,12 @@ class DeviceLoopBackend:
             )
             return carry, trace
 
-        return chunk
+        chunk = jax.jit(chunk_fn, **jit_kwargs)
+
+        def call(x, opt_state, J, g):
+            return chunk(x, opt_state, J, g, dev)
+
+        return call
 
     # -- driver loop --------------------------------------------------------
 
@@ -132,12 +187,6 @@ class DeviceLoopBackend:
 
         from ..fg import unpack_complex
         from ..optimize import apply_convergence_check, update_result
-
-        if wrk.mesh is not None:
-            raise ValueError(
-                "DeviceLoopBackend does not support mesh-sharded runs; "
-                "use the default L-BFGS-B backend with mesh="
-            )
 
         x = np.asarray(wrk.pulsevals, dtype=np.float64)
         wrk.pulsevals = x

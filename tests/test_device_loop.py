@@ -7,7 +7,6 @@ platform this amortizes the ~27-31 ms per-call host↔device latency that
 otherwise caps GRAPE iteration rate."""
 
 import numpy as np
-import pytest
 
 from grape_tpu import Trajectory, hamiltonian, optimize
 from grape_tpu.functionals import J_T_sm
@@ -116,17 +115,54 @@ def test_device_loop_bounds_projection():
     assert res.J_T < 0.5
 
 
-def test_device_loop_rejects_mesh():
+def test_device_loop_sharded_matches_single_device():
+    """The device-resident chunked loop under ``mesh=...``: the chunk
+    program is built with explicit shardings (problem arrays sharded
+    along the trajectory axis, pulse vector / optimizer state
+    replicated) — a sharded ensemble pays ONE host sync per chunk.  The
+    J_T trace must reproduce the unsharded device-loop trace."""
     import jax
 
     from grape_tpu.parallel import make_mesh
 
-    assert len(jax.devices()) >= 2
-    trajs, tlist = _tls()
-    trajs = trajs * 2
-    with pytest.raises(Exception, match="mesh"):
-        optimize(
-            trajs, tlist, J_T=J_T_sm, iter_stop=2,
-            optimizer="device-lbfgs", mesh=make_mesh(2),
-            print_iters=False, rethrow_exceptions=True,
+    assert len(jax.devices()) >= 8
+    sz_ = np.array([[1, 0], [0, -1]], dtype=complex)
+    sx_ = np.array([[0, 1], [1, 0]], dtype=complex)
+
+    def eps(t):
+        return 0.2 * float(flattop(t, T=5, t_rise=0.3, func="blackman"))
+
+    base = hamiltonian(-0.5 * sz_, (sx_, eps))
+    shared_eps = base.terms[0][1]
+    trajs = [
+        Trajectory(
+            [1, 0],
+            hamiltonian(-0.5 * (1.0 + 0.01 * k) * sz_, (sx_, shared_eps)),
+            target_state=[0, 1],
         )
+        for k in range(8)
+    ]
+    tlist = np.linspace(0, 5, 101)
+    kwargs = dict(
+        J_T=J_T_sm, iter_stop=6, print_iters=False,
+        rethrow_exceptions=True, optimizer="device-lbfgs",
+        device_loop_iters=3,
+    )
+    tr_plain, tr_mesh = [], []
+    res_plain = optimize(
+        trajs, tlist,
+        callback=lambda w, i: tr_plain.append(float(w.result.J_T)),
+        **kwargs,
+    )
+    res_mesh = optimize(
+        trajs, tlist, mesh=make_mesh(8),
+        callback=lambda w, i: tr_mesh.append(float(w.result.J_T)),
+        **kwargs,
+    )
+    assert len(tr_mesh) == len(tr_plain) == 7
+    np.testing.assert_allclose(tr_mesh, tr_plain, rtol=1e-9, atol=1e-12)
+    for c_m, c_p in zip(
+        res_mesh.optimized_controls, res_plain.optimized_controls
+    ):
+        np.testing.assert_allclose(c_m, c_p, atol=1e-9)
+    assert res_mesh.J_T < 0.5  # real optimization progress
