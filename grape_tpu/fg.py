@@ -609,16 +609,35 @@ def unpack_complex(arr):
     return arr[0] + 1j * arr[1]
 
 
+def _op_constants(cp: CompiledProblem):
+    """``(H0_, ops_)`` as traced arrays.  For shared generators only the
+    ``[:1]`` slice is embedded — keeping the length-1 leading axis so the
+    shared code paths' ``[0]`` indexing is unchanged.  Embedding the
+    K-tiled copies would inflate the serialized program K-fold: at
+    K=64, dim=1024 the constants alone exceed the axon compile server's
+    request-size limit (HTTP 413, measured 16 GB of StableHLO)."""
+    if cp.shared_generator:
+        return jnp.asarray(cp.H0[:1]), jnp.asarray(cp.ops[:1])
+    return jnp.asarray(cp.H0), jnp.asarray(cp.ops)
+
+
 def _step_ops(cp: CompiledProblem, n, tables, cdtype):
     """(H_n (K,d,d), mu_n (K,L,d,d)) for time interval index ``n`` from
     the per-evaluation coefficient tables (see ``_coeff_tables``)."""
     coeffs_all, dM = tables
-    ops_ = jnp.asarray(cp.ops)
-    H0_ = jnp.asarray(cp.H0)
+    H0_, ops_ = _op_constants(cp)
     if cp.per_traj_coeffs:
         c = coeffs_all[:, n].astype(cdtype)  # (K, T)
         H = H0_ + jnp.einsum("kt,ktij->kij", c, ops_)
         mu = jnp.einsum("ktl,ktij->klij", dM[:, n].astype(cdtype), ops_)
+    elif cp.shared_generator:
+        # length-1 operator constants: compute once, broadcast to K (the
+        # per-step fallback contract is (K, ...) blocks)
+        c = coeffs_all[n].astype(cdtype)  # (T,)
+        H1 = H0_[0] + jnp.einsum("t,tij->ij", c, ops_[0])
+        mu1 = jnp.einsum("tl,tij->lij", dM[n].astype(cdtype), ops_[0])
+        H = jnp.broadcast_to(H1, (cp.n_traj,) + H1.shape)
+        mu = jnp.broadcast_to(mu1, (cp.n_traj,) + mu1.shape)
     else:
         c = coeffs_all[n].astype(cdtype)  # (T,)
         H = H0_ + jnp.einsum("t,ktij->kij", c, ops_)
@@ -765,8 +784,7 @@ def _make_fwd_step(cp: CompiledProblem, pds, tables, with_U=False):
     pd = pds["fw"] if isinstance(pds, dict) and "fw" in pds else pds
     cdtype = cp.psi0.dtype
     coeffs_all = tables[0]
-    H0_ = jnp.asarray(cp.H0)
-    ops_ = jnp.asarray(cp.ops)
+    H0_, ops_ = _op_constants(cp)
     dt = jnp.diff(jnp.asarray(cp.tlist))
 
     if with_U and pd is not None:
@@ -1321,8 +1339,7 @@ def _chi_prop_scan(cp: CompiledProblem, pds, tables, storage, chi_hat,
     tlist_j = jnp.asarray(cp.tlist)
     dt = jnp.diff(tlist_j)
     coeffs_all = tables[0]
-    H0_ = jnp.asarray(cp.H0)
-    ops_ = jnp.asarray(cp.ops)
+    H0_, ops_ = _op_constants(cp)
     shared = cp.shared_generator
     if cp.xi is not None:
         w = _grid_weights(tlist_j)
@@ -1443,8 +1460,7 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, tables, storage,
 
     cdtype = cp.psi0.dtype
     dt = jnp.diff(jnp.asarray(cp.tlist))
-    ops_ = jnp.asarray(cp.ops)
-    H0_ = jnp.asarray(cp.H0)
+    H0_, ops_ = _op_constants(cp)
 
     coeffs_all = tables[0].astype(cdtype)  # (N_T, T) or (K, N_T, T)
     dMc = tables[1].astype(cdtype)         # (N_T, T, L) or (K, N_T, T, L)
@@ -1543,8 +1559,7 @@ def _backward_vectorized(cp: CompiledProblem, tables, storage, chis,
     cdtype = cp.psi0.dtype
     tlist_j = jnp.asarray(cp.tlist)
     dt = jnp.diff(tlist_j)
-    ops_ = jnp.asarray(cp.ops)
-    H0_ = jnp.asarray(cp.H0)
+    H0_, ops_ = _op_constants(cp)
 
     # ---- phase B: batched Taylor recursion over all steps -----------
     coeffs_all = tables[0].astype(cdtype)  # (N_T, T) or (K, N_T, T)
@@ -1728,7 +1743,7 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False):
             if cp.shared_generator:
                 # one expm per step applied to the (K, d) state block
                 out = forward_scan_pallas_shared(
-                    jnp.asarray(cp.H0)[0], jnp.asarray(cp.ops)[0],
+                    jnp.asarray(cp.H0[:1])[0], jnp.asarray(cp.ops[:1])[0],
                     coeffs, dts, cp.psi0,
                     n_squarings=_pallas_squarings(cp, amp_max),
                     with_propagators=want_U,
