@@ -221,14 +221,6 @@ def compile_problem(
     n_terms = len(generators[0].terms)
     dim = generators[0].dim
 
-    H0 = np.stack([g.drift for g in generators]).astype(cdtype)
-    if n_terms > 0:
-        ops = np.stack(
-            [np.stack([op for (op, _) in g.terms]) for g in generators]
-        ).astype(cdtype)  # (K, T, d, d)
-    else:
-        ops = np.zeros((K, 0, dim, dim), dtype=cdtype)
-
     # Coefficient tensor M (N_T, T, L): term j couples to control l_j with
     # per-interval weight shape_j[n].  Locked terms (no control) contribute
     # through the fixed-coefficient table Mfix instead.  When trajectories
@@ -251,11 +243,30 @@ def compile_problem(
     custom_terms = tuple(g0.custom_terms(controls))
 
     # gate-optimization detection: one generator, K basis states — then
-    # U_n is shared across trajectories and the propagator work drops K-fold
+    # U_n is shared across trajectories and the propagator work drops
+    # K-fold.  Shared operator arrays are stored with a LENGTH-1 leading
+    # axis (never K-tiled): at K=64, dim=1024 the tile alone is 2.1 GB of
+    # host memory and 16 GB of serialized program constants (measured —
+    # past the axon compile server's request-size limit).
+    same_gen = all(g is g0 for g in generators)
+    stack_gens = (
+        generators[:1] if (same_gen and not per_traj_coeffs)
+        else generators
+    )
+    H0 = np.stack([g.drift for g in stack_gens]).astype(cdtype)
+    if n_terms > 0:
+        ops = np.stack(
+            [np.stack([op for (op, _) in g.terms]) for g in stack_gens]
+        ).astype(cdtype)  # (K or 1, T, d, d)
+    else:
+        ops = np.zeros((len(stack_gens), 0, dim, dim), dtype=cdtype)
     shared_generator = not per_traj_coeffs and (
-        all(g is generators[0] for g in generators)
+        same_gen
         or (bool(np.all(H0 == H0[:1])) and bool(np.all(ops == ops[:1])))
     )
+    if shared_generator and H0.shape[0] > 1:
+        H0 = np.ascontiguousarray(H0[:1])
+        ops = np.ascontiguousarray(ops[:1])
 
     psi0 = np.stack([t.initial_state for t in trajectories]).astype(cdtype)
     has_targets = all(t.target_state is not None for t in trajectories)
@@ -426,16 +437,22 @@ def _coeff_tables(cp: CompiledProblem, eps):
     For linear amplitudes these are the static tables ``M @ ε + Mfix`` /
     ``M``; ``CustomAmplitude`` slots are traced per-step evaluations of
     ``a(ε_n, t_n)`` and the chain-rule factor ``∂a/∂ε`` (the reference's
-    per-step ``evaluate(μ; vals_dict)``, ``src/optimize.jl:946-957``)."""
+    per-step ``evaluate(μ; vals_dict)``, ``src/optimize.jl:946-957``).
+
+    Items ``[2]``/``[3]`` carry the traced operator constants
+    ``(H0_, ops_)`` — created HERE, once per ``_coeff_tables`` call, and
+    threaded to every consumer so one program embeds the (potentially
+    tens-of-MB) operator arrays once instead of once per phase."""
     M_ = jnp.asarray(cp.M)
     Mfix_ = jnp.asarray(cp.Mfix)
+    H0_, ops_ = _op_constants(cp)
     if cp.per_traj_coeffs:
         coeffs = jnp.einsum("kntl,ln->knt", M_, eps) + Mfix_
     else:
         coeffs = jnp.einsum("ntl,ln->nt", M_, eps) + Mfix_
     dM = M_
     if not cp.custom_terms:
-        return coeffs, dM
+        return coeffs, dM, H0_, ops_
     tl = jnp.asarray(cp.tlist)
     # interval times: midpoints, except t=0 / t=T for the first / last
     # interval (reference convention, docs/src/background.md; same as
@@ -457,7 +474,7 @@ def _coeff_tables(cp: CompiledProblem, eps):
         else:
             coeffs = coeffs.at[:, j].set(aj)
             dM = dM.at[:, j, jnp.asarray(idxs)].set(dj)
-    return coeffs, dM
+    return coeffs, dM, H0_, ops_
 
 
 def _coeff_env(cp: CompiledProblem, amp_max):
@@ -624,8 +641,7 @@ def _op_constants(cp: CompiledProblem):
 def _step_ops(cp: CompiledProblem, n, tables, cdtype):
     """(H_n (K,d,d), mu_n (K,L,d,d)) for time interval index ``n`` from
     the per-evaluation coefficient tables (see ``_coeff_tables``)."""
-    coeffs_all, dM = tables
-    H0_, ops_ = _op_constants(cp)
+    coeffs_all, dM, H0_, ops_ = tables
     if cp.per_traj_coeffs:
         c = coeffs_all[:, n].astype(cdtype)  # (K, T)
         H = H0_ + jnp.einsum("kt,ktij->kij", c, ops_)
@@ -783,8 +799,7 @@ def _make_fwd_step(cp: CompiledProblem, pds, tables, with_U=False):
     (``expm(+i dt H†) ≡ expm(-i dt H)†``)."""
     pd = pds["fw"] if isinstance(pds, dict) and "fw" in pds else pds
     cdtype = cp.psi0.dtype
-    coeffs_all = tables[0]
-    H0_, ops_ = _op_constants(cp)
+    coeffs_all, H0_, ops_ = tables[0], tables[2], tables[3]
     dt = jnp.diff(jnp.asarray(cp.tlist))
 
     if with_U and pd is not None:
@@ -1140,14 +1155,15 @@ def _op_norms(cp: CompiledProblem):
     device, where a host read-back would be a collective + transfer)."""
     if cp.norm_cache is not None:
         return cp.norm_cache["h0"], np.asarray(cp.norm_cache["ops"])
+    k_ops = cp.H0.shape[0]  # 1 for shared generators, K otherwise
     h0n = max(
         float(np.abs(np.asarray(cp.H0[k])).sum(axis=0).max())
-        for k in range(cp.n_traj)
+        for k in range(k_ops)
     )
     opn = np.asarray([
         max(
             float(np.abs(np.asarray(cp.ops[k, j])).sum(axis=0).max())
-            for k in range(cp.n_traj)
+            for k in range(k_ops)
         )
         for j in range(cp.ops.shape[1])
     ])
@@ -1338,8 +1354,7 @@ def _chi_prop_scan(cp: CompiledProblem, pds, tables, storage, chi_hat,
     cdtype = cp.psi0.dtype
     tlist_j = jnp.asarray(cp.tlist)
     dt = jnp.diff(tlist_j)
-    coeffs_all = tables[0]
-    H0_, ops_ = _op_constants(cp)
+    coeffs_all, H0_, ops_ = tables[0], tables[2], tables[3]
     shared = cp.shared_generator
     if cp.xi is not None:
         w = _grid_weights(tlist_j)
@@ -1460,7 +1475,7 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, tables, storage,
 
     cdtype = cp.psi0.dtype
     dt = jnp.diff(jnp.asarray(cp.tlist))
-    H0_, ops_ = _op_constants(cp)
+    H0_, ops_ = tables[2], tables[3]
 
     coeffs_all = tables[0].astype(cdtype)  # (N_T, T) or (K, N_T, T)
     dMc = tables[1].astype(cdtype)         # (N_T, T, L) or (K, N_T, T, L)
@@ -1559,7 +1574,7 @@ def _backward_vectorized(cp: CompiledProblem, tables, storage, chis,
     cdtype = cp.psi0.dtype
     tlist_j = jnp.asarray(cp.tlist)
     dt = jnp.diff(tlist_j)
-    H0_, ops_ = _op_constants(cp)
+    H0_, ops_ = tables[2], tables[3]
 
     # ---- phase B: batched Taylor recursion over all steps -----------
     coeffs_all = tables[0].astype(cdtype)  # (N_T, T) or (K, N_T, T)
@@ -1705,7 +1720,8 @@ def _backward_vectorized(cp: CompiledProblem, tables, storage, chis,
     return rho[None, :, None].astype(cdtype) * grads, taylor_ok
 
 
-def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False):
+def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False,
+                      tables=None):
     """Forward pass in either storage mode.
 
     Returns ``(storage, checkpoints, psi_T, (J_T, J_a, J_b, tau), Us)``:
@@ -1715,10 +1731,11 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False):
     inline.  ``Us (N_T, K, d, d)`` holds the per-step propagators when
     ``want_U`` (full-storage ExpProp only); else None.
     """
-    eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps)).astype(
-        cp.tlist.dtype
-    )
-    tables = _coeff_tables(cp, eps)
+    if tables is None:
+        eps = jnp.reshape(
+            pulsevals, (cp.n_controls, cp.n_timesteps)
+        ).astype(cp.tlist.dtype)
+        tables = _coeff_tables(cp, eps)
     tlist_j = jnp.asarray(cp.tlist)
     if cp.storage_mode != "recompute":
         Us = None
@@ -1729,7 +1746,7 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False):
             coeffs = tables[0].astype(jnp.float32)
             dts = jnp.diff(tlist_j).astype(jnp.float32)
             out = forward_scan_pallas_smalld(
-                cp.H0, cp.ops, coeffs, dts, cp.psi0,
+                tables[2], tables[3], coeffs, dts, cp.psi0,
                 n_squarings=_pallas_squarings(cp, amp_max),
                 with_propagators=want_U,
             )
@@ -1743,14 +1760,14 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False):
             if cp.shared_generator:
                 # one expm per step applied to the (K, d) state block
                 out = forward_scan_pallas_shared(
-                    jnp.asarray(cp.H0[:1])[0], jnp.asarray(cp.ops[:1])[0],
+                    tables[2][0], tables[3][0],
                     coeffs, dts, cp.psi0,
                     n_squarings=_pallas_squarings(cp, amp_max),
                     with_propagators=want_U,
                 )
             else:
                 out = forward_scan_pallas(
-                    cp.H0, cp.ops, coeffs, dts, cp.psi0,
+                    tables[2], tables[3], coeffs, dts, cp.psi0,
                     n_squarings=_pallas_squarings(cp, amp_max),
                     with_propagators=want_U,
                 )
@@ -1884,9 +1901,17 @@ def build_fg(cp: CompiledProblem, amp_max=None):
     @jax.default_matmul_precision("highest")
     def fg(pulsevals):
         pulsevals = jnp.asarray(pulsevals, dtype=rdtype)
+        # ONE tables tuple for the whole program: forward and backward
+        # share the traced operator constants (a second _coeff_tables
+        # call would embed a second copy in the serialized program)
+        eps = jnp.reshape(
+            pulsevals, (cp.n_controls, cp.n_timesteps)
+        ).astype(rdtype)
+        tables = _coeff_tables(cp, eps)
         storage, checkpoints, psi_T, (J_T_val, J_a_val, J_b_val, tau), Us = (
             _evaluate_forward(
-                cp, pd, pulsevals, want_U=reuse_U and not recompute
+                cp, pd, pulsevals, want_U=reuse_U and not recompute,
+                tables=tables,
             )
         )
         J = J_T_val + J_a_val + J_b_val
@@ -1899,10 +1924,6 @@ def build_fg(cp: CompiledProblem, amp_max=None):
         safe_rho = jnp.where(rho > 0, rho, 1.0)
         chi_hat = chi_T / safe_rho[:, None].astype(cdtype)
 
-        eps = jnp.reshape(pulsevals, (cp.n_controls, cp.n_timesteps)).astype(
-            rdtype
-        )
-        tables = _coeff_tables(cp, eps)
         bw_step = _make_bw_step(cp, pd, tables, rho, safe_rho, amp_max)
 
         if not recompute and Us is not None and vec_gg:
