@@ -57,8 +57,14 @@ def time_fg(fg, x, n=5):
         J = float(fg(x)[0])
     dt = (time.perf_counter() - t0) / n
     # pipelined: n dispatches, ONE sync — amortizes the per-call
-    # launch+sync floor (~31 ms via the tunnel), isolating device time
+    # launch+sync floor (~31 ms via the tunnel), isolating device time.
+    # The warm batch MUST be drained before the timer starts: an
+    # un-synced warm batch is still executing on device when the timed
+    # dispatches queue behind it, inflating dt_pipe ~2x for
+    # compute-bound configs (measured: dim-1024 fat-batch "pipelined"
+    # 1677 ms vs 861 ms synced before this fix).
     outs = [fg(x) for _i in range(n)]
+    _ = float(outs[-1][0])  # drain the device queue
     t0 = time.perf_counter()
     outs = [fg(x) for _i in range(n)]
     acc = float(outs[-1][0])
@@ -145,24 +151,42 @@ def main():
             lambda: build_cz(32, 100, "gradgen", "cheby", T=1.0), 100, 4,
             n=3,
         )
+    def build_subspace(d, n_basis, n_steps, T, method, prop, **kw_extra):
+        # fat-batch regime: K=n_basis basis-state trajectories, one
+        # shared generator -> (K, dim)@(dim, dim) term matvecs
+        from grape_tpu.models import two_transmon_subspace_gate_problem
+
+        problem = two_transmon_subspace_gate_problem(
+            d=d, n_basis=n_basis, n_steps=n_steps, T=T
+        )
+        kw = dict(problem.kwargs)
+        if prop != "expprop":
+            kw["prop_method"] = prop
+        kw.update(kw_extra)
+        cp = compile_problem(
+            problem.trajectories, problem.tlist, dtype=np.complex64,
+            gradient_method=method, **kw
+        )
+        return build_fg(cp), cp
+
     if want("dim1024_subspace_K64"):
-        # fat-batch regime: K=64 basis-state trajectories, one shared
-        # generator -> (64, 1024)@(1024, 1024) term matvecs
-        def build_subspace():
-            from grape_tpu.models import two_transmon_subspace_gate_problem
-
-            problem = two_transmon_subspace_gate_problem(
-                d=32, n_basis=64, n_steps=100, T=1.0
-            )
-            kw = dict(problem.kwargs)
-            kw["prop_method"] = "cheby"
-            cp = compile_problem(
-                problem.trajectories, problem.tlist, dtype=np.complex64,
-                gradient_method="taylor", **kw
-            )
-            return build_fg(cp), cp
-
-        entry("dim1024_subspace_K64", build_subspace, 100, 64, n=3)
+        entry(
+            "dim1024_subspace_K64",
+            lambda: build_subspace(32, 64, 100, 1.0, "taylor", "cheby"),
+            100, 64, n=3,
+        )
+    if want("dim100_subspace_K64_taylor"):
+        entry(
+            "dim100_subspace_K64_taylor",
+            lambda: build_subspace(10, 64, 800, 50.0, "taylor", "expprop"),
+            800, 64, n=3,
+        )
+    if want("dim100_subspace_K64_gradgen"):
+        entry(
+            "dim100_subspace_K64_gradgen",
+            lambda: build_subspace(10, 64, 800, 50.0, "gradgen", "expprop"),
+            800, 64, n=3,
+        )
 
 
 if __name__ == "__main__":
