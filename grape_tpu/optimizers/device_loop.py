@@ -115,27 +115,16 @@ class DeviceLoopBackend:
         hi = jnp.asarray(wrk.upper_bounds)
         project = has_bounds and self.project_bounds
 
-        def _ls_info(state, key, default):
-            import optax.tree_utils as otu
+        from .optax_backend import make_exact_value_fn, tree_get_optax
 
-            try:
-                val = otu.tree_get(state, key)
-            except Exception:
-                val = None
-            return default if val is None else val
+        _ls_info = tree_get_optax
 
         def chunk_fn(x, opt_state, J, g, arrs):
-            # defined inside the trace so the line-search value/grad
+            # built inside the trace so the line-search value/grad
             # closures see the (possibly sharded, traced) problem arrays
-            @jax.custom_jvp
-            def value_fn(p):
-                return f_j(p, arrs)[0]
-
-            @value_fn.defjvp
-            def _value_jvp(primals, tangents):
-                (p,), (t,) = primals, tangents
-                J_, grad, _aux = fg_j(p, arrs)
-                return J_, jnp.vdot(grad, t)
+            value_fn = make_exact_value_fn(
+                lambda p: f_j(p, arrs)[0], lambda p: fg_j(p, arrs)
+            )
 
             def body(carry, _):
                 x, st, J, g = carry
@@ -229,13 +218,49 @@ class DeviceLoopBackend:
                         "The norm of a state χ(T) is below chi_min_norm: "
                         "the gradient is zero"
                     )
-                if not bool(trace["taylor_ok"][i]):
-                    raise RuntimeError(
-                        "Taylor gradient series did not converge within "
-                        "the static order budget; decrease chunk size or "
-                        "supply finite bounds"
+                x_i = np.asarray(trace["x"][i], dtype=np.float64)
+                # Envelope guard (host backends check before EVERY
+                # evaluation via _ensure_envelope; the static chunk
+                # program cannot grow mid-chunk): an iterate outside the
+                # amplitude bucket was produced by a stale-envelope
+                # program — its J/gradient (cheby tables, static taylor
+                # orders) are not trustworthy.  Discard it and the rest
+                # of the chunk, grow the envelope to cover it, and
+                # re-take the step from the last recorded iterate with
+                # the grown program (fresh optimizer state: per-iteration
+                # optax carries are not retained on host).
+                stale = False
+                if wrk._amp_bucket is not None:
+                    amps = np.max(
+                        np.abs(x_i.reshape(-1, wrk.cp.n_timesteps)),
+                        axis=1,
                     )
-                x = np.asarray(trace["x"][i], dtype=np.float64)
+                    stale = bool(
+                        np.any(amps > np.asarray(wrk._amp_bucket))
+                    )
+                if stale or not bool(trace["taylor_ok"][i]):
+                    if wrk._amp_bucket is None:
+                        raise RuntimeError(
+                            "Taylor gradient series did not converge "
+                            "within the static order budget; decrease "
+                            "the time step or supply finite bounds"
+                        )
+                    if stale:
+                        wrk._ensure_envelope(x_i)
+                    else:
+                        # in-envelope taylor_ok failure: the bound was
+                        # too loose — grow once (the host path's
+                        # safety net, workspace.evaluate_gradient)
+                        wrk._amp_bucket = wrk._bucket_for(
+                            2.0 * np.asarray(wrk._amp_bucket)
+                        )
+                        wrk.fg, wrk.f = wrk._programs()
+                    wrk.pulsevals = x
+                    J = fg(0.0, g, x)  # re-sync carry at the re-seed x
+                    opt_state = self.tx.init(jnp.asarray(x))
+                    stopped = True
+                    break
+                x = x_i
                 x_snapshot = x.copy()
                 J = float(trace["J"][i])
                 g = np.asarray(trace["g"][i], dtype=np.float64)

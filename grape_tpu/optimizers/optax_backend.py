@@ -10,6 +10,50 @@ backend likewise rejects bounds, ``ext/GRAPEOptimExt.jl:26-28``)."""
 import numpy as np
 
 
+def make_exact_value_fn(f_scalar, fg_full, on_probe=None):
+    """``custom_jvp`` bridge shared by the optax-driven backends
+    (OptaxBackend and the device-resident loop): optax line searches
+    hard-wire ``jax.value_and_grad`` / ``jax.linearize`` onto
+    ``value_fn`` — route BOTH to the exact GRAPE gradient (per-step
+    Fréchet scheme) instead of differentiating through the propagation
+    scans.  ``on_probe(kind)`` (0 = F-only, 1 = FG) hooks counter
+    accounting; the device loop omits it (its probes run inside a
+    scanned chunk and are accounted from the optax line-search step
+    counts at replay — a documented semantic difference)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.custom_jvp
+    def value_fn(p):
+        if on_probe is not None:
+            on_probe(0)
+        return f_scalar(p)
+
+    @value_fn.defjvp
+    def _value_jvp(primals, tangents):
+        (p,), (t,) = primals, tangents
+        if on_probe is not None:
+            on_probe(1)
+        J, grad, _aux = fg_full(p)
+        return J, jnp.vdot(grad, t)
+
+    return value_fn
+
+
+def tree_get_optax(state, key, default):
+    """``optax.tree_utils.tree_get`` with a default — the optimizer
+    state's line-search fields (``learning_rate``,
+    ``num_linesearch_steps``) when the transformation carries them.
+    Works on host states (floats out) and traced states (tracers out)."""
+    try:
+        import optax.tree_utils as otu
+
+        val = otu.tree_get(state, key)
+    except Exception:
+        val = None
+    return default if val is None else val
+
+
 class OptaxBackend:
     def __init__(self, transformation, project_bounds=True):
         import optax
@@ -58,19 +102,9 @@ class OptaxBackend:
                 jnp.int32(kind), ordered=True,
             )
 
-        @jax.custom_jvp
-        def value_fn(p):
-            _count_probe(0)
-            return wrk.f(p)[0]
-
-        @value_fn.defjvp
-        def _value_jvp(primals, tangents):
-            (p,), (t,) = primals, tangents
-            _count_probe(1)
-            J, grad, _aux = wrk.fg(p)
-            return J, jnp.vdot(grad, t)
-
-        self._value_fn = value_fn
+        self._value_fn = make_exact_value_fn(
+            lambda p: wrk.f(p)[0], wrk.fg, on_probe=_count_probe
+        )
 
         # iteration 0
         f = fg(0.0, g, x)
@@ -121,16 +155,11 @@ class OptaxBackend:
         either way — cf. the reference's Optim introspection,
         ``ext/GRAPEOptimExt.jl:106-113``)."""
         alpha = None
-        try:
-            import optax.tree_utils as otu
-
-            lr = otu.tree_get(state, "learning_rate")
-            if lr is not None:
-                lr = float(lr)
-                if np.isfinite(lr) and lr > 0.0:
-                    alpha = lr
-        except Exception:
-            pass
+        lr = tree_get_optax(state, "learning_rate", None)
+        if lr is not None:
+            lr = float(lr)
+            if np.isfinite(lr) and lr > 0.0:
+                alpha = lr
         if alpha is None:
             wrk.alpha = 1.0
             wrk.searchdirection[:] = step

@@ -33,9 +33,23 @@ _LIVE_PREWARM_THREADS = weakref.WeakSet()
 
 @atexit.register
 def _join_prewarm_threads_at_exit():
+    # Bounded join: background warms only exist on non-TPU platforms
+    # (on the axon TPU the first warm is synchronous and post-growth
+    # warms are skipped), where a compile is seconds — the bound keeps a
+    # pathological compile from hanging interpreter exit for minutes.
+    # If the timeout expires the daemon thread is abandoned mid-compile,
+    # which risks the C++-static-teardown abort this join exists to
+    # prevent; 120 s covers every compile observed on CPU.
+    deadline = 120.0
+    import time as _time
+
+    t0 = _time.monotonic()
     for t in list(_LIVE_PREWARM_THREADS):
+        remaining = deadline - (_time.monotonic() - t0)
+        if remaining <= 0:
+            break
         if t.is_alive():
-            t.join()
+            t.join(timeout=remaining)
 
 __all__ = [
     "GrapeWrk", "step_width", "search_direction", "norm_search",
@@ -239,6 +253,10 @@ class GrapeWrk:
             return
         if key in self._program_cache or key == self._warm_key:
             return
+        if self._warm_thread is not None and self._warm_thread.is_alive():
+            # a warm for another bucket is still compiling: don't stack a
+            # second background compile (the next growth re-triggers)
+            return
         import threading
 
         if block is None:
@@ -264,7 +282,9 @@ class GrapeWrk:
             except Exception:  # never kill the optimization from here
                 pass
             finally:
-                self._warm_key = None
+                # clear only OUR key: a newer warm may have replaced it
+                if self._warm_key == key:
+                    self._warm_key = None
 
         if block:
             warm()
@@ -324,13 +344,20 @@ class GrapeWrk:
             # amplitudes: an envelope over-estimate is mathematically
             # exact, and the swap is free — without this, an optimizer
             # step overshooting the predicted next bucket would pay a
-            # fresh compile despite the warm program in the cache
-            warmed = [
-                k for k in list(self._program_cache) + (
-                    [self._warm_key] if self._warm_key else []
-                )
-                if k is not None and np.all(amps <= np.asarray(k))
-            ]
+            # fresh compile despite the warm program in the cache.
+            # CACHED programs beat an in-flight warm even when the warm's
+            # bucket is tighter: swapping to the cached one is free,
+            # while the in-flight one would block on the remaining
+            # compile + first-execution cost.
+            def covering(keys):
+                return [
+                    k for k in keys
+                    if k is not None and np.all(amps <= np.asarray(k))
+                ]
+
+            warmed = covering(list(self._program_cache)) or covering(
+                [self._warm_key]
+            )
             if warmed:
                 self._amp_bucket = min(warmed, key=lambda k: max(k))
             else:

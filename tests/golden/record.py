@@ -75,7 +75,18 @@ CONFIGS = {
     # dissipative Lindblad TLS (vectorized Liouville propagation): pins
     # the open-system path (VERDICT round-2 item 8)
     "lindblad_tls": lambda: _trace(_lindblad_problem()),
+    # fat-batch subspace-gate synthesis (round-3 model family: K basis
+    # states under one shared generator, seeded random target unitary)
+    "subspace_gate": lambda: _trace(_subspace_problem()),
 }
+
+
+def _subspace_problem():
+    from grape_tpu.models import two_transmon_subspace_gate_problem
+
+    return two_transmon_subspace_gate_problem(
+        d=3, n_basis=6, n_steps=50, T=10.0, E0=0.2, J=0.3, iter_stop=15
+    )
 
 
 def _lindblad_problem():

@@ -115,6 +115,50 @@ def test_device_loop_bounds_projection():
     assert res.J_T < 0.5
 
 
+def test_device_loop_envelope_growth_mid_chunk():
+    """Unbounded pulses outgrowing the amplitude-envelope bucket
+    MID-CHUNK: the stale iterate (produced by the old-envelope program)
+    must be discarded, the bucket grown, and the optimization re-seeded
+    — converging to the same reference anchor as the host backends
+    instead of raising (taylor) or silently recording stale-program
+    values (cheby)."""
+    def eps(t):  # tiny guess -> small initial bucket; optimum peaks ~0.8
+        return 0.05 * float(flattop(t, T=5, t_rise=0.3, func="blackman"))
+
+    H = hamiltonian(-0.5 * sz, (sx, eps))
+    tlist = np.linspace(0, 5, 201)
+    trajs = [Trajectory([1, 0], H, target_state=[0, 1])]
+    from grape_tpu.workspace import GrapeWrk
+
+    buckets = []
+    orig_init = GrapeWrk.__init__
+
+    def spy_init(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        buckets.append(self)
+
+    GrapeWrk.__init__ = spy_init
+    try:
+        res = optimize(
+            trajs, tlist, J_T=J_T_sm, iter_stop=40,
+            optimizer="device-lbfgs", device_loop_iters=4,
+            prop_method="cheby", gradient_method="taylor",
+            print_iters=False, rethrow_exceptions=True,
+        )
+    finally:
+        GrapeWrk.__init__ = orig_init
+    wrk = buckets[-1]
+    assert res.J_T < 1e-3
+    # the optimum (max|eps| ~ 0.8) lies far outside the guess bucket
+    # (~0.1): growth must have happened, and every RECORDED iterate must
+    # be inside the final bucket
+    assert wrk._amp_bucket is not None and max(wrk._amp_bucket) >= 0.8
+    from grape_tpu.controls import discretize_on_midpoints
+
+    pulse = discretize_on_midpoints(res.optimized_controls[0], tlist)
+    assert np.max(np.abs(pulse)) <= max(wrk._amp_bucket) + 1e-12
+
+
 def test_device_loop_sharded_matches_single_device():
     """The device-resident chunked loop under ``mesh=...``: the chunk
     program is built with explicit shardings (problem arrays sharded

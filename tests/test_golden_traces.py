@@ -116,3 +116,20 @@ def test_lindblad_tls_trace():
     )
     _check("lindblad_tls", trace, trace_b, res)
     assert res.J_T < 0.1  # beats the gamma=0.05 decay
+
+
+def test_subspace_gate_trace():
+    """Fat-batch subspace-gate synthesis (round-3 model family): K=6
+    basis states under one shared generator toward a seeded random
+    subspace unitary — pins the shared-generator gate fast path and the
+    length-1 operator storage."""
+    from grape_tpu.models import two_transmon_subspace_gate_problem
+
+    trace, trace_b, res = _run(
+        two_transmon_subspace_gate_problem(
+            d=3, n_basis=6, n_steps=50, T=10.0, E0=0.2, J=0.3,
+            iter_stop=15,
+        )
+    )
+    _check("subspace_gate", trace, trace_b, res)
+    assert trace[-1] < 0.6 * trace[0]  # real optimization progress
