@@ -218,7 +218,11 @@ class DeviceLoopBackend:
                         "The norm of a state χ(T) is below chi_min_norm: "
                         "the gradient is zero"
                     )
-                x_i = np.asarray(trace["x"][i], dtype=np.float64)
+                # np.array (copy): device_get output is read-only when
+                # no dtype conversion forces a copy (CPU f64 runs), and
+                # x/g are mutated downstream (callback pulse mutation,
+                # fg's in-place G_out write)
+                x_i = np.array(trace["x"][i], dtype=np.float64)
                 # Envelope guard (host backends check before EVERY
                 # evaluation via _ensure_envelope; the static chunk
                 # program cannot grow mid-chunk): an iterate outside the
@@ -263,7 +267,7 @@ class DeviceLoopBackend:
                 x = x_i
                 x_snapshot = x.copy()
                 J = float(trace["J"][i])
-                g = np.asarray(trace["g"][i], dtype=np.float64)
+                g = np.array(trace["g"][i], dtype=np.float64)
                 wrk.pulsevals = x
                 wrk.gradient[:] = g
                 wrk.J_parts[:] = np.asarray(

@@ -164,7 +164,12 @@ def _build_sharded(build, cp, mesh, axis, amp_max, presharded, n_out):
     _fg._warm_env_cache(cp, amp_max)
     repl = NamedSharding(mesh, P())
     in_shardings = (repl, {k: v.sharding for k, v in dev.items()})
-    out_shardings = (repl,) * n_out + (None,)
+    # aux outputs replicated too: the host consumes every aux field
+    # (tau, psi_T, J_parts, counters), and in MULTI-PROCESS runs a
+    # non-replicated output spans non-addressable devices and cannot be
+    # device_get at all — the all-gather is the transfer the host would
+    # otherwise do anyway
+    out_shardings = (repl,) * n_out + (repl,)
 
     def call(pulsevals, arrs):
         cp_t = dataclasses.replace(cp, **arrs)
