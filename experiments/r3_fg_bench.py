@@ -181,11 +181,22 @@ def main():
             lambda: build_subspace(10, 64, 800, 50.0, "taylor", "expprop"),
             800, 64, n=3,
         )
+    g_ref64 = None
+    if want("dim100_subspace_K64_gradgen_xla"):
+        g_ref64 = entry(
+            "dim100_subspace_K64_gradgen_xla",
+            lambda: build_subspace(
+                10, 64, 800, 50.0, "gradgen", "expprop", use_pallas=False
+            ),
+            800, 64, n=3,
+        )
     if want("dim100_subspace_K64_gradgen"):
+        # k-blocked fused Fréchet kernel (K=64 rides the grid in blocks
+        # of 8; gate opened round-3b)
         entry(
             "dim100_subspace_K64_gradgen",
             lambda: build_subspace(10, 64, 800, 50.0, "gradgen", "expprop"),
-            800, 64, n=3,
+            800, 64, n=3, grad_ref=g_ref64,
         )
 
 

@@ -1427,7 +1427,11 @@ def _pallas_gradgen_enabled(cp: CompiledProblem):
         return False
     if cp.psi0.dtype != np.complex64:
         return False
-    if cp.dim > 128 or cp.n_traj > 8:
+    # dim bound: the unrolled chain's VMEM working set; K bound: blocks
+    # of 8 directions ride the kernel grid (pallas_frechet k_block) —
+    # capped where the streamed (N_T·K/8, 8, 128)-trace output and the
+    # repeated psi/chi blocks stop being negligible against the compute
+    if cp.dim > 128 or cp.n_traj > 256:
         return False
     import jax as _jax
 

@@ -100,7 +100,16 @@ def fg_flops(cp, amp_max=None):
         total += N_T * K * MV
         total += N_T * K * MV  # R = psi chi† outer products
         if cp.shared_generator:
-            fre_mm = (7 + 13 * K) + s * (1 + 2 * K)
+            if _fg._pallas_gradgen_enabled(cp) and K > 8:
+                # k-blocked kernel: the shared base (7 + s matmuls) is
+                # re-derived per 8-direction block riding the grid, and
+                # K pads to the block multiple (executed work, same
+                # convention as the recompute-mode doubling)
+                n_grp = -(-K // 8)
+                k_pad = 8 * n_grp
+                fre_mm = n_grp * (7 + s) + (13 + 2 * s) * k_pad
+            else:
+                fre_mm = (7 + 13 * K) + s * (1 + 2 * K)
             total += N_T * fre_mm * MM
         else:
             fre_mm = 20 + 3 * s  # one direction, per (n, k)

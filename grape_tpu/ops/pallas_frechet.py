@@ -78,7 +78,7 @@ def _frechet_kernel_shared(
     opstr_ref, opsti_ref,                  # ops pre-TRANSPOSED (T,d,d)
     psir_ref, psii_ref, chir_ref, chii_ref,  # (1, K, d) per-step blocks
     tjr_ref, tji_ref,                      # out (1, K, LANES) planes
-    *, degree, n_squarings, n_terms, n_dirs, precision,
+    *, degree, n_squarings, n_terms, n_dirs, precision, n_grp=1,
 ):
     _dot = _make_dot(precision)
 
@@ -88,7 +88,10 @@ def _frechet_kernel_shared(
         t3 = _dot(ar + ai, br + bi)
         return t1 - t2, t3 - t1 - t2
 
-    n = pl.program_id(0)
+    # k-blocked mode: n_grp direction blocks ride the grid per time step;
+    # the scalar-prefetch tables stay (N_T, ·) — SMEM is 1 MB, repeating
+    # them n_grp× overflows it (measured: 3.2 MB at N_T=800, n_grp=8)
+    n = pl.program_id(0) // n_grp if n_grp > 1 else pl.program_id(0)
     scale = np.float32(2.0 ** (-n_squarings))
 
     # ---- A = -i·dt·H, pre-scaled by 2^-s --------------------------------
@@ -238,7 +241,7 @@ def _frechet_kernel_shared(
 
 def frechet_trace_pallas_shared(
     H0, ops, coeffs, dts, psis, chis, n_squarings, degree=16,
-    interpret=False, precision="high",
+    interpret=False, precision="high", k_block=8,
 ):
     """``trj[n, k, t] = tr(Op_t · L(-i dt_n H_n, ψ_nk χ_nk†))`` fused.
 
@@ -250,10 +253,34 @@ def frechet_trace_pallas_shared(
       psis: (N_T, K, d) complex64 forward states ψ(t_n)
       chis: (N_T, K, d) complex64 normalized co-states χ(t_{n+1})
       n_squarings: static squaring count (host amplitude envelope)
+      k_block: max directions unrolled per kernel invocation.  Larger K
+        is folded into the grid: the K axis is zero-padded to a multiple
+        of ``k_block`` and the resulting blocks ride the time-grid axis,
+        re-deriving the shared expm base per block (~6% extra matmuls at
+        ``k_block=8`` — the base is ~15 of the ~255 per-block matmuls).
+        Fat-batch problems (K = n_basis gate bases) stay in the fused
+        VMEM regime instead of falling back to the HBM-streaming XLA
+        chunked path.
 
     Returns trj (N_T, K, T) complex64.
     """
     N_T, K, d = psis.shape
+    n_grp = 1
+    K_full = K
+    if K > k_block:
+        # fold K-blocks onto the grid; the kernel maps grid step g to
+        # time step g // n_grp, so the scalar-prefetch tables stay
+        # (N_T, ·) (repeating them n_grp× overflows the 1 MB SMEM)
+        n_grp = -(-K // k_block)  # ceil
+        k_pad = n_grp * k_block
+        if k_pad != K:
+            # zero directions are exact (L(A, 0) = 0) and discarded below
+            pad = ((0, 0), (0, k_pad - K), (0, 0))
+            psis = jnp.pad(jnp.asarray(psis), pad)
+            chis = jnp.pad(jnp.asarray(chis), pad)
+        psis = jnp.asarray(psis).reshape(N_T * n_grp, k_block, d)
+        chis = jnp.asarray(chis).reshape(N_T * n_grp, k_block, d)
+        K = k_block
     T = ops.shape[0]
     f32 = jnp.float32
     LANES = 128  # padded trace-output lane dim (T ≤ LANES)
@@ -276,26 +303,30 @@ def frechet_trace_pallas_shared(
     kernel = functools.partial(
         _frechet_kernel_shared, degree=degree,
         n_squarings=int(n_squarings), n_terms=T, n_dirs=K,
-        precision=precision,
+        precision=precision, n_grp=n_grp,
     )
+    n_grid = N_T * n_grp
     mat = pl.BlockSpec((1, d, d), lambda n, *_: (0, 0, 0))
     matT = pl.BlockSpec((T, d, d), lambda n, *_: (0, 0, 0))
     step = pl.BlockSpec((1, K, d), lambda n, *_: (n, 0, 0))
     outspec = pl.BlockSpec((1, K, LANES), lambda n, *_: (n, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(N_T,),
+        grid=(n_grid,),
         in_specs=[mat, mat, matT, matT, matT, matT, step, step, step, step],
         out_specs=[outspec, outspec],
     )
     tjr, tji = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((N_T, K, LANES), f32),
-            jax.ShapeDtypeStruct((N_T, K, LANES), f32),
+            jax.ShapeDtypeStruct((n_grid, K, LANES), f32),
+            jax.ShapeDtypeStruct((n_grid, K, LANES), f32),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
     )(coeffs, dts2, h0r, h0i, opsr, opsi, opstr, opsti,
       psir, psii, chir, chii)
-    return (tjr[..., :T] + 1j * tji[..., :T]).astype(jnp.complex64)
+    trj = (tjr[..., :T] + 1j * tji[..., :T]).astype(jnp.complex64)
+    if n_grp > 1:
+        trj = trj.reshape(N_T, n_grp * K, T)[:, :K_full]
+    return trj

@@ -223,3 +223,38 @@ def test_frechet_trace_pallas_shared_interpret():
         ref = np.einsum("tab,kba->kt", ops, np.asarray(G[0]))
         scale = max(np.max(np.abs(ref)), 1.0)
         assert np.max(np.abs(trj[n] - ref)) < 2e-5 * scale, n
+
+
+def test_frechet_trace_pallas_k_blocked_interpret():
+    """K > k_block folds direction blocks onto the kernel grid (fat-batch
+    gradgen regime, K = n_basis gate bases); the blocked result must match
+    the single-block kernel exactly, including a K that is NOT a multiple
+    of the block size (zero-direction padding)."""
+    from grape_tpu.ops.pallas_frechet import frechet_trace_pallas_shared
+
+    rng = np.random.default_rng(7)
+    d, T, N_T, s = 8, 2, 3, 1
+    H0 = rng.normal(size=(d, d))
+    H0 = (H0 + H0.T) + 0j
+    ops = rng.normal(size=(T, d, d))
+    ops = (ops + np.swapaxes(ops, -1, -2)) + 0j
+    coeffs = (0.3 * rng.normal(size=(N_T, T))).astype(np.float32)
+    dts = np.full(N_T, 0.1, dtype=np.float32)
+    for K in (8, 11):  # exact block multiple + zero-padded remainder
+        psis = (rng.normal(size=(N_T, K, d))
+                + 1j * rng.normal(size=(N_T, K, d))).astype(np.complex64)
+        chis = (rng.normal(size=(N_T, K, d))
+                + 1j * rng.normal(size=(N_T, K, d))).astype(np.complex64)
+        args = (
+            jnp.asarray(H0, dtype=jnp.complex64),
+            jnp.asarray(ops, dtype=jnp.complex64),
+            coeffs, dts, jnp.asarray(psis), jnp.asarray(chis),
+        )
+        blocked = np.asarray(frechet_trace_pallas_shared(
+            *args, n_squarings=s, interpret=True, k_block=4,
+        ))
+        assert blocked.shape == (N_T, K, T)
+        one_block = np.asarray(frechet_trace_pallas_shared(
+            *args, n_squarings=s, interpret=True, k_block=K,
+        ))
+        assert np.max(np.abs(blocked - one_block)) < 1e-6
