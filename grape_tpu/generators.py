@@ -22,7 +22,26 @@ from .amplitudes import (
     ComplexAmplitude, CustomAmplitude, LockedAmplitude, ShapedAmplitude,
 )
 
-__all__ = ["Generator", "hamiltonian", "liouvillian", "align_generators"]
+__all__ = [
+    "Generator", "hamiltonian", "liouvillian", "align_generators",
+    "as_generator",
+]
+
+
+def as_generator(obj):
+    """Coerce a plain square matrix into a drift-only :class:`Generator`.
+
+    The reference accepts a static matrix as a (control-free) generator
+    (`test/test_empty_optimization.jl`: ``Trajectory(generator =
+    random_matrix(N))``); anything already generator-like (has
+    ``get_controls``) passes through unchanged.
+    """
+    if obj is None or hasattr(obj, "get_controls"):
+        return obj
+    arr = np.asarray(obj)
+    if arr.ndim == 2 and arr.shape[0] == arr.shape[1]:
+        return Generator(arr, [])
+    return obj
 
 
 class Generator:

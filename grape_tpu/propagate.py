@@ -15,7 +15,7 @@ from jax import lax
 from .amplitudes import ShapedAmplitude
 from .config import complex_dtype
 from .controls import discretize_on_midpoints, get_controls
-from .generators import Generator
+from .generators import Generator, as_generator
 from .ops.expm import expm
 
 __all__ = ["propagate", "substitute"]
@@ -55,6 +55,7 @@ def propagate(state, generator, tlist, storage=False, backwards=False,
     With ``storage=True``, returns the array of all states ``(N_T+1, d)``;
     otherwise only the final state ``(d,)``.
     """
+    generator = as_generator(generator)  # plain static matrices allowed
     tlist = np.asarray(tlist, dtype=np.float64)
     N_T = len(tlist) - 1
     cdtype = complex_dtype(dtype) if dtype is not None else complex_dtype(

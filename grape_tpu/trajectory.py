@@ -23,17 +23,9 @@ class Trajectory:
 
     def __init__(self, initial_state, generator, **kwargs):
         self.initial_state = np.asarray(initial_state)
-        if generator is not None and not hasattr(generator, "get_controls"):
-            # A plain square matrix is a valid (static, control-free)
-            # generator in the reference (`test/test_empty_optimization.jl`,
-            # Trajectory(generator=random_matrix(N))): coerce to a
-            # drift-only Generator.
-            arr = np.asarray(generator)
-            if arr.ndim == 2 and arr.shape[0] == arr.shape[1]:
-                from .generators import Generator
+        from .generators import as_generator
 
-                generator = Generator(arr, [])
-        self.generator = generator
+        self.generator = as_generator(generator)
         self.kwargs = dict(kwargs)
         self.target_state = kwargs.pop("target_state", None)
         if self.target_state is not None:

@@ -44,6 +44,26 @@ def test_empty_optimization_raises():
         optimize_problem(problem, rethrow_exceptions=True, print_iters=False)
 
 
+def test_propagate_static_matrix_generator():
+    """`propagate` accepts a plain static matrix as the generator and
+    matches the exact exponential ``exp(-i H T)``."""
+    from scipy.linalg import expm as scipy_expm
+
+    from grape_tpu.propagate import propagate
+
+    rng = np.random.default_rng(7)
+    N = 6
+    A = rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N))
+    H = 0.5 * (A + A.conj().T)
+    psi0 = rng.standard_normal(N) + 1j * rng.standard_normal(N)
+    psi0 /= np.linalg.norm(psi0)
+    tlist = np.linspace(0.0, 2.0, 21)
+
+    psi = np.asarray(propagate(psi0, H, tlist))
+    exact = scipy_expm(-2.0j * H) @ psi0
+    np.testing.assert_allclose(psi, exact, atol=1e-10)
+
+
 def test_empty_trajectories_raises():
     """Zero trajectories is rejected up front rather than crashing later."""
     tlist = np.linspace(0.0, 1.0, 11)
