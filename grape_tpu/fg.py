@@ -136,6 +136,11 @@ class CompiledProblem:
     # 3-pass bf16: per-step-independent math, no cross-step compounding;
     # see ops/pallas_frechet._PRECISIONS)
     gradgen_pallas_precision: str = "high"
+    # set by parallel.mesh when this build runs INSIDE a shard_map region
+    # over the trajectory axis: the per-shard arrays are local unsharded
+    # blocks, so the Pallas kernels may be invoked directly (the Mosaic
+    # custom call runs per shard — no SPMD partitioning rule needed)
+    spmd_local: bool = False
 
     @property
     def dt(self):
@@ -1078,6 +1083,26 @@ def _pallas_forward_enabled(cp: CompiledProblem, pds):
         return False
     if cp.psi0.dtype != np.complex64:
         return False
+    return _pallas_platform_ok(cp)
+
+
+def _unsharded_host_problem(cp: CompiledProblem):
+    """True when the Pallas kernels may be invoked directly: the problem
+    arrays are host numpy (single-device build), or the build runs inside
+    a ``shard_map`` region over the trajectory axis (``cp.spmd_local``),
+    where each shard sees a local unsharded block.  Outside those cases
+    (a GSPMD-partitioned build), kernels stay off: a Mosaic custom call
+    has no SPMD partitioning rule, so the partitioner would replicate or
+    fail on it — ``parallel.mesh`` instead wraps the whole per-shard fg
+    in ``shard_map`` and sets ``spmd_local``."""
+    return cp.spmd_local or isinstance(cp.psi0, np.ndarray)
+
+
+def _pallas_platform_ok(cp: CompiledProblem):
+    """Common platform tail for the kernel gates: ``use_pallas="auto"``
+    enables kernels on TPU only; an explicit ``use_pallas=True`` forces
+    them anywhere (off-TPU they run in interpreter mode — exact but slow,
+    for tests and sharding validation)."""
     import jax as _jax
 
     on_tpu = _jax.devices()[0].platform == "tpu"
@@ -1086,12 +1111,13 @@ def _pallas_forward_enabled(cp: CompiledProblem, pds):
     return bool(cp.use_pallas)
 
 
-def _unsharded_host_problem(cp: CompiledProblem):
-    """True when the problem arrays are host numpy (single-device build).
-    Sharded problems (``shard_problem`` device_puts the arrays) must stay
-    on pure-XLA paths: a Mosaic custom call has no SPMD partitioning
-    rule, so the GSPMD partitioner would replicate or fail on it."""
-    return isinstance(cp.psi0, np.ndarray)
+def _pallas_interpret(cp: CompiledProblem):
+    """Interpreter mode for the kernel invocations: off-TPU, Mosaic
+    custom calls cannot execute — interpret mode keeps a forced
+    ``use_pallas=True`` build runnable (and testable) on CPU."""
+    import jax as _jax
+
+    return _jax.devices()[0].platform != "tpu"
 
 
 def _pallas_chi_enabled(cp: CompiledProblem):
@@ -1109,9 +1135,7 @@ def _pallas_chi_enabled(cp: CompiledProblem):
     # VMEM guard: 2 x (K, d) f32 scratch + resident chi0/out blocks
     if cp.n_traj * cp.dim * 8 > 4 * 1024**2:
         return False
-    import jax as _jax
-
-    return _jax.devices()[0].platform == "tpu"
+    return _pallas_platform_ok(cp)
 
 
 def _pallas_smalld_enabled(cp: CompiledProblem, pds):
@@ -1133,9 +1157,7 @@ def _pallas_smalld_enabled(cp: CompiledProblem, pds):
         return False
     if cp.psi0.dtype != np.complex64:
         return False
-    import jax as _jax
-
-    return _jax.devices()[0].platform == "tpu"
+    return _pallas_platform_ok(cp)
 
 
 def _h_norm_bound(cp: CompiledProblem, amp_max=None):
@@ -1320,7 +1342,9 @@ def _chi_trajectory(cp: CompiledProblem, storage, Us, chi_hat, safe_rho):
         # scan well inside the full program — but exact and dispatch-free)
         from .ops.pallas_prop import chi_scan_pallas_shared
 
-        return chi_scan_pallas_shared(Us, chi_hat)
+        return chi_scan_pallas_shared(
+            Us, chi_hat, interpret=_pallas_interpret(cp)
+        )
 
     def chi_body(chi, n):
         chi_in = chi  # χ(t_{n+1}) — what step n's recursion consumes
@@ -1385,6 +1409,17 @@ def _chi_prop_scan(cp: CompiledProblem, pds, tables, storage, chi_hat,
     return chis_rev[::-1]
 
 
+def _gg_u_bytes_ok(cp: CompiledProblem):
+    """U-storage bound for the stored-propagator phase A of the
+    vectorized gradgen pass (``N_T · K · d²`` complex entries)."""
+    k_u = 1 if cp.shared_generator else cp.n_traj
+    nbytes = (
+        cp.n_timesteps * k_u * cp.dim * cp.dim
+        * np.dtype(cp.psi0.dtype).itemsize
+    )
+    return nbytes <= 4 * 1024**3
+
+
 def _vec_gradgen_enabled(cp: CompiledProblem, pds=None):
     """Time-vectorized gradgen backward: requires stored propagators
     (ExpProp forward/backward/grad, full storage), bounded U-storage,
@@ -1405,12 +1440,12 @@ def _vec_gradgen_enabled(cp: CompiledProblem, pds=None):
             pd = pds[key] if isinstance(pds, dict) and key in pds else pds
             if pd is not None:
                 return False
-    k_u = 1 if cp.shared_generator else cp.n_traj
-    nbytes = (
-        cp.n_timesteps * k_u * cp.dim * cp.dim
-        * np.dtype(cp.psi0.dtype).itemsize
-    )
-    return nbytes <= 4 * 1024**3
+    if _gg_u_bytes_ok(cp):
+        return True
+    # U storage too large for the stored-propagator phase A: still
+    # vectorize when the fused per-trajectory kernel serves phase B —
+    # phase A then runs the U-free co-state scan (_chi_prop_scan)
+    return _pallas_gradgen_pertraj_enabled(cp)
 
 
 def _pallas_gradgen_enabled(cp: CompiledProblem):
@@ -1433,9 +1468,35 @@ def _pallas_gradgen_enabled(cp: CompiledProblem):
     # repeated psi/chi blocks stop being negligible against the compute
     if cp.dim > 128 or cp.n_traj > 256:
         return False
-    import jax as _jax
+    return _pallas_platform_ok(cp)
 
-    return _jax.devices()[0].platform == "tpu"
+
+def _pallas_gradgen_pertraj_enabled(cp: CompiledProblem):
+    """Fused Fréchet-trace kernel gate for PER-TRAJECTORY generators
+    (robust ensembles: K distinct H_k, the BASELINE config-5 north star;
+    the reference's per-trajectory backward loop is
+    ``/root/reference/src/optimize.jl:876-911``).  The kernel grid is
+    ``(K, N_T)`` with time innermost so each trajectory's operator planes
+    are fetched into VMEM once; each grid step derives the k-specific
+    expm base + one rank-1 Fréchet factor + trace reductions on-chip
+    (the XLA chunked fallback streams every (C, K, d, d) intermediate
+    through HBM — measured ~4.6% MFU at d=100, K=64).  Dim gates: ≥ 16
+    so the per-step matmuls use the MXU (below that the XLA batched
+    tiny-matmul path vectorizes fine), ≤ 128 so the unrolled chain's
+    VMEM working set fits one MXU tile."""
+    if cp.use_pallas is False:
+        return False
+    if not _unsharded_host_problem(cp):
+        return False
+    if cp.shared_generator or cp.per_traj_coeffs:
+        return False
+    if cp.psi0.dtype != np.complex64:
+        return False
+    if np.asarray(cp.M).shape[-2] < 1:
+        return False
+    if cp.dim < 16 or cp.dim > 128 or cp.n_traj > 1024:
+        return False
+    return _pallas_platform_ok(cp)
 
 
 def _gradgen_chunk(cp: CompiledProblem, n_intermediates=8,
@@ -1496,6 +1557,28 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, tables, storage,
             storage[:-1], chis,
             n_squarings=_pallas_squarings(cp, amp_max),
             precision=cp.gradgen_pallas_precision,
+            interpret=_pallas_interpret(cp),
+        )  # (N_T, K, T)
+        a_all = (-1j * dt).astype(cdtype)
+        grads = a_all[:, None, None] * jnp.einsum(
+            "ntl,nkt->nkl", dMc, trj
+        )
+        return rho[None, :, None].astype(cdtype) * grads
+
+    if _pallas_gradgen_pertraj_enabled(cp):
+        # per-trajectory generators (robust ensembles): (K, N_T) kernel
+        # grid, each trajectory's operator planes VMEM-resident across
+        # all time steps (VERDICT round-3 item 1)
+        from .ops.pallas_frechet import frechet_trace_pallas_pertraj
+
+        trj = frechet_trace_pallas_pertraj(
+            H0_, ops_,
+            tables[0].astype(jnp.float32),
+            dt.astype(jnp.float32),
+            storage[:-1], chis,
+            n_squarings=_pallas_squarings(cp, amp_max),
+            precision=cp.gradgen_pallas_precision,
+            interpret=_pallas_interpret(cp),
         )  # (N_T, K, T)
         a_all = (-1j * dt).astype(cdtype)
         grads = a_all[:, None, None] * jnp.einsum(
@@ -1753,6 +1836,7 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False,
                 tables[2], tables[3], coeffs, dts, cp.psi0,
                 n_squarings=_pallas_squarings(cp, amp_max),
                 with_propagators=want_U,
+                interpret=_pallas_interpret(cp),
             )
             storage, Us = out if want_U else (out, None)
         elif _pallas_forward_enabled(cp, pd):
@@ -1768,12 +1852,14 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False,
                     coeffs, dts, cp.psi0,
                     n_squarings=_pallas_squarings(cp, amp_max),
                     with_propagators=want_U,
+                    interpret=_pallas_interpret(cp),
                 )
             else:
                 out = forward_scan_pallas(
                     tables[2], tables[3], coeffs, dts, cp.psi0,
                     n_squarings=_pallas_squarings(cp, amp_max),
                     with_propagators=want_U,
+                    interpret=_pallas_interpret(cp),
                 )
             storage, Us = out if want_U else (out, None)
         elif want_U:
@@ -1893,7 +1979,7 @@ def build_fg(cp: CompiledProblem, amp_max=None):
     recompute = cp.storage_mode == "recompute"
 
     vec_gg = _vec_gradgen_enabled(cp, pd)
-    reuse_U = _reuse_U_enabled(cp, pd) or vec_gg
+    reuse_U = _reuse_U_enabled(cp, pd) or (vec_gg and _gg_u_bytes_ok(cp))
     vec_bw = (
         cp.vectorize_backward
         and _vectorized_taylor_orders(cp, amp_max) is not None
@@ -1930,10 +2016,17 @@ def build_fg(cp: CompiledProblem, amp_max=None):
 
         bw_step = _make_bw_step(cp, pd, tables, rho, safe_rho, amp_max)
 
-        if not recompute and Us is not None and vec_gg:
-            # stored propagators → time-vectorized gradgen (one rank-1
-            # Fréchet per step serves all L directions)
-            chis = _chi_trajectory(cp, storage, Us, chi_hat, safe_rho)
+        if not recompute and vec_gg:
+            # time-vectorized gradgen (one rank-1 Fréchet per step serves
+            # all L directions): phase A via the stored propagators when
+            # available, else the U-free per-step co-state scan (the
+            # per-trajectory kernel path at U-storage sizes > 4 GiB)
+            if Us is not None:
+                chis = _chi_trajectory(cp, storage, Us, chi_hat, safe_rho)
+            else:
+                chis = _chi_prop_scan(
+                    cp, pd, tables, storage, chi_hat, safe_rho
+                )
             tau_grads = _backward_vectorized_gradgen(
                 cp, tables, storage, chis, rho, amp_max
             )

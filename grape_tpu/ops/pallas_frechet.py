@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .expm import _FACT_INV
 
-__all__ = ["frechet_trace_pallas_shared"]
+__all__ = ["frechet_trace_pallas_shared", "frechet_trace_pallas_pertraj"]
 
 # "high" (3-pass bf16, ~2^-21 relative per matmul) is accurate for this
 # kernel: each step's Fréchet factor is INDEPENDENT — unlike the forward
@@ -79,6 +79,7 @@ def _frechet_kernel_shared(
     psir_ref, psii_ref, chir_ref, chii_ref,  # (1, K, d) per-step blocks
     tjr_ref, tji_ref,                      # out (1, K, LANES) planes
     *, degree, n_squarings, n_terms, n_dirs, precision, n_grp=1,
+    grid2d=False,
 ):
     _dot = _make_dot(precision)
 
@@ -90,8 +91,15 @@ def _frechet_kernel_shared(
 
     # k-blocked mode: n_grp direction blocks ride the grid per time step;
     # the scalar-prefetch tables stay (N_T, ·) — SMEM is 1 MB, repeating
-    # them n_grp× overflows it (measured: 3.2 MB at N_T=800, n_grp=8)
-    n = pl.program_id(0) // n_grp if n_grp > 1 else pl.program_id(0)
+    # them n_grp× overflows it (measured: 3.2 MB at N_T=800, n_grp=8).
+    # grid2d (per-trajectory generators): grid is (K, N_T) with time
+    # innermost — the k-specific operator blocks then stay VMEM-resident
+    # across all N_T steps (their index maps are constant along the inner
+    # axis, so they are fetched once per trajectory).
+    if grid2d:
+        n = pl.program_id(1)
+    else:
+        n = pl.program_id(0) // n_grp if n_grp > 1 else pl.program_id(0)
     scale = np.float32(2.0 ** (-n_squarings))
 
     # ---- A = -i·dt·H, pre-scaled by 2^-s --------------------------------
@@ -330,3 +338,86 @@ def frechet_trace_pallas_shared(
     if n_grp > 1:
         trj = trj.reshape(N_T, n_grp * K, T)[:, :K_full]
     return trj
+
+
+def frechet_trace_pallas_pertraj(
+    H0, ops, coeffs, dts, psis, chis, n_squarings, degree=16,
+    interpret=False, precision="high",
+):
+    """``trj[n, k, t] = tr(Op_kt · L(-i dt_n H_kn, ψ_nk χ_nk†))`` with
+    PER-TRAJECTORY generators (robust ensembles: K *distinct* H_k — the
+    BASELINE config-5 north star; the reference's per-trajectory backward
+    loop this replaces is ``/root/reference/src/optimize.jl:876-911``).
+
+    Unlike the shared-generator kernel there is no expm base to amortize
+    across directions, so the grid is ``(K, N_T)`` with the time axis
+    innermost: each trajectory's operator planes are fetched into VMEM
+    once and stay resident for all ``N_T`` steps (their BlockSpec index
+    maps are constant along the inner grid axis).  Each grid step derives
+    the k-specific Taylor-PS expm base, ONE rank-1 Fréchet factor, and
+    the T trace reductions entirely in VMEM — the XLA chunked fallback
+    streams every (C, K, d, d) intermediate through HBM instead.
+
+    Args:
+      H0:   (K, d, d) complex64 per-trajectory drifts
+      ops:  (K, T, d, d) complex64 per-trajectory control-term operators
+      coeffs: (N_T, T) float32 shared per-step term coefficients
+      dts:  (N_T,) float32
+      psis: (N_T, K, d) complex64 forward states ψ(t_n)
+      chis: (N_T, K, d) complex64 normalized co-states χ(t_{n+1})
+      n_squarings: static squaring count (host amplitude envelope)
+
+    Returns trj (N_T, K, T) complex64.
+    """
+    N_T, K, d = psis.shape
+    T = ops.shape[1]
+    assert ops.shape[0] == K and H0.shape[0] == K
+    assert T >= 1
+    f32 = jnp.float32
+    LANES = 128  # padded trace-output lane dim (T ≤ LANES)
+    assert T <= LANES
+
+    h0r = jnp.real(jnp.asarray(H0)).astype(f32)       # (K, d, d)
+    h0i = jnp.imag(jnp.asarray(H0)).astype(f32)
+    opsj = jnp.asarray(ops).reshape(K * T, d, d)      # k-major flat terms
+    opsr = jnp.real(opsj).astype(f32)
+    opsi = jnp.imag(opsj).astype(f32)
+    opstr = jnp.swapaxes(opsr, -1, -2)
+    opsti = jnp.swapaxes(opsi, -1, -2)
+    psir = jnp.real(psis).astype(f32)
+    psii = jnp.imag(psis).astype(f32)
+    chir = jnp.real(chis).astype(f32)
+    chii = jnp.imag(chis).astype(f32)
+    coeffs = jnp.asarray(coeffs, dtype=f32)
+    dts2 = jnp.asarray(dts, dtype=f32).reshape(N_T, 1)
+
+    kernel = functools.partial(
+        _frechet_kernel_shared, degree=degree,
+        n_squarings=int(n_squarings), n_terms=T, n_dirs=1,
+        precision=precision, n_grp=1, grid2d=True,
+    )
+    # block index maps: (k, n, *scalar_refs) -> block coords; the k-only
+    # operator blocks are constant along the inner n axis (fetched once
+    # per trajectory), the per-step psi/chi/out blocks advance with n
+    mat_k = pl.BlockSpec((1, d, d), lambda k, n, *_: (k, 0, 0))
+    ops_k = pl.BlockSpec((T, d, d), lambda k, n, *_: (k, 0, 0))
+    step = pl.BlockSpec((1, 1, d), lambda k, n, *_: (n, k, 0))
+    outspec = pl.BlockSpec((1, 1, LANES), lambda k, n, *_: (n, k, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K, N_T),
+        in_specs=[mat_k, mat_k, ops_k, ops_k, ops_k, ops_k,
+                  step, step, step, step],
+        out_specs=[outspec, outspec],
+    )
+    tjr, tji = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((N_T, K, LANES), f32),
+            jax.ShapeDtypeStruct((N_T, K, LANES), f32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(coeffs, dts2, h0r, h0i, opsr, opsi, opstr, opsti,
+      psir, psii, chir, chii)
+    return (tjr[..., :T] + 1j * tji[..., :T]).astype(jnp.complex64)

@@ -225,6 +225,131 @@ def test_frechet_trace_pallas_shared_interpret():
         assert np.max(np.abs(trj[n] - ref)) < 2e-5 * scale, n
 
 
+def test_frechet_trace_pallas_pertraj_interpret():
+    """Per-trajectory-generator fused Fréchet trace kernel vs the XLA
+    expm_frechet path — the robust-ensemble (K distinct H_k) gradgen
+    backward (reference per-trajectory loop,
+    `/root/reference/src/optimize.jl:876-911`; VERDICT round-3 item 1)."""
+    from grape_tpu.ops.frechet import expm_frechet
+    from grape_tpu.ops.pallas_frechet import frechet_trace_pallas_pertraj
+
+    rng = np.random.default_rng(13)
+    d, K, T, N_T, s = 8, 3, 2, 4, 2
+    H0 = rng.normal(size=(K, d, d))
+    H0 = (H0 + np.swapaxes(H0, -1, -2)) + 0j
+    ops = rng.normal(size=(K, T, d, d))
+    ops = (ops + np.swapaxes(ops, -1, -2)) + 0j
+    coeffs = (0.3 * rng.normal(size=(N_T, T))).astype(np.float32)
+    dts = np.full(N_T, 0.1, dtype=np.float32)
+    psis = (rng.normal(size=(N_T, K, d))
+            + 1j * rng.normal(size=(N_T, K, d))).astype(np.complex64)
+    chis = (rng.normal(size=(N_T, K, d))
+            + 1j * rng.normal(size=(N_T, K, d))).astype(np.complex64)
+
+    args = (
+        jnp.asarray(H0, dtype=jnp.complex64),
+        jnp.asarray(ops, dtype=jnp.complex64),
+        coeffs, dts, jnp.asarray(psis), jnp.asarray(chis),
+    )
+    trj = np.asarray(frechet_trace_pallas_pertraj(
+        *args, n_squarings=s, interpret=True, precision="highest",
+    ))
+    assert trj.shape == (N_T, K, T)
+    # the default 3-pass bf16 scheme ("high") stays within its ~2^-21
+    # per-matmul accumulation noise of the full-precision kernel
+    trj_high = np.asarray(frechet_trace_pallas_pertraj(
+        *args, n_squarings=s, interpret=True, precision="high",
+    ))
+    ref_scale = max(np.max(np.abs(trj)), 1.0)
+    assert np.max(np.abs(trj_high - trj)) < 1e-3 * ref_scale
+
+    # reference: per-k expm_frechet in the rank-1 direction, trace with
+    # the k-specific operators
+    for n in range(N_T):
+        for k in range(K):
+            H = (H0[k] + np.einsum("t,tij->ij", coeffs[n], ops[k])).astype(
+                np.complex64
+            )
+            A = -1j * dts[n] * H
+            R = np.outer(psis[n, k], np.conj(chis[n, k]))
+            _, G = expm_frechet(
+                jnp.asarray(A)[None], jnp.asarray(R)[None, None],
+                squarings=s,
+            )
+            ref = np.einsum("tab,ba->t", ops[k], np.asarray(G[0, 0]))
+            scale = max(np.max(np.abs(ref)), 1.0)
+            assert np.max(np.abs(trj[n, k] - ref)) < 2e-5 * scale, (n, k)
+
+
+def test_fg_pertraj_kernel_matches_xla():
+    """Through ``build_fg``: the per-trajectory-generator fused-kernel
+    path (``use_pallas=True`` runs interpret off-TPU) produces the same
+    (J, gradient) as the XLA chunked ``expm_frechet`` path for a robust
+    ensemble with K distinct Hamiltonians (BASELINE config-5 pattern;
+    reference per-trajectory backward loop
+    `/root/reference/src/optimize.jl:876-911`) — including the U-free
+    phase-A route used when the U storage exceeds its byte budget."""
+    import dataclasses
+
+    from grape_tpu import Trajectory, hamiltonian
+    from grape_tpu.fg import (
+        build_fg, compile_problem, _pallas_gradgen_pertraj_enabled,
+    )
+    import grape_tpu.fg as fgmod
+    from grape_tpu.functionals import J_T_sm
+
+    rng = np.random.default_rng(21)
+    d, K = 16, 3
+
+    def eps(t):
+        return 0.2 * np.cos(0.7 * t)
+
+    def eps2(t):
+        return 0.1 * np.sin(0.9 * t)
+
+    ctl_ops = []
+    for _ in range(2):
+        A = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+        ctl_ops.append(0.5 * (A + A.conj().T))
+    trajs = []
+    for k in range(K):
+        A = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+        H0 = 0.5 * (A + A.conj().T) * 0.3 * (1 + 0.05 * k)
+        psi0 = rng.normal(size=d) + 1j * rng.normal(size=d)
+        tgt = rng.normal(size=d) + 1j * rng.normal(size=d)
+        trajs.append(Trajectory(
+            psi0 / np.linalg.norm(psi0),
+            hamiltonian(H0, (ctl_ops[0], eps), (ctl_ops[1], eps2)),
+            target_state=tgt / np.linalg.norm(tgt),
+        ))
+    tlist = np.linspace(0, 2.0, 21)
+    kwargs = dict(J_T=J_T_sm, gradient_method="gradgen",
+                  dtype=np.complex64)
+    cp_k = compile_problem(trajs, tlist, use_pallas=True, **kwargs)
+    assert not cp_k.shared_generator and not cp_k.per_traj_coeffs
+    assert _pallas_gradgen_pertraj_enabled(cp_k)
+    cp_x = compile_problem(trajs, tlist, use_pallas=False, **kwargs)
+    x = cp_k.guess_pulsevals.reshape(-1)
+    J1, g1, _ = build_fg(cp_k)(x)
+    J2, g2, _ = build_fg(cp_x)(x)
+    g1, g2 = np.asarray(g1), np.asarray(g2)
+    gs = max(np.max(np.abs(g2)), 1e-12)
+    assert abs(float(J1) - float(J2)) < 1e-5 * max(1.0, abs(float(J2)))
+    assert np.max(np.abs(g1 - g2)) < 2e-3 * gs
+
+    # U-free phase A (the route taken when N_T*K*d^2 exceeds the
+    # U-storage budget): _chi_prop_scan instead of stored propagators
+    orig = fgmod._gg_u_bytes_ok
+    fgmod._gg_u_bytes_ok = lambda cp: False
+    try:
+        cp_nf = dataclasses.replace(cp_k, env_cache={})
+        J3, g3, _ = build_fg(cp_nf)(x)
+    finally:
+        fgmod._gg_u_bytes_ok = orig
+    assert abs(float(J3) - float(J2)) < 1e-5 * max(1.0, abs(float(J2)))
+    assert np.max(np.abs(np.asarray(g3) - g2)) < 2e-3 * gs
+
+
 def test_frechet_trace_pallas_k_blocked_interpret():
     """K > k_block folds direction blocks onto the kernel grid (fat-batch
     gradgen regime, K = n_basis gate bases); the blocked result must match
