@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from jax.sharding import PartitionSpec as P
+
 from .config import complex_dtype, real_dtype
 from .controls import discretize_on_midpoints, get_controls
 from .functionals import accepts_tau, make_chi, make_grad_J_a, make_xi, taus
@@ -141,6 +143,13 @@ class CompiledProblem:
     # blocks, so the Pallas kernels may be invoked directly (the Mosaic
     # custom call runs per shard — no SPMD partitioning rule needed)
     spmd_local: bool = False
+    # set by parallel.mesh.shard_problem: the device mesh and the mesh
+    # axis name(s) the trajectory axis shards over.  Kernel invocations
+    # then wrap themselves in per-call ``shard_map`` islands (a Mosaic
+    # custom call has no GSPMD partitioning rule; the island runs the
+    # kernel on each shard's local trajectory block instead)
+    mesh: Any = None
+    mesh_axis: Any = None
 
     @property
     def dt(self):
@@ -1087,15 +1096,48 @@ def _pallas_forward_enabled(cp: CompiledProblem, pds):
 
 
 def _unsharded_host_problem(cp: CompiledProblem):
-    """True when the Pallas kernels may be invoked directly: the problem
-    arrays are host numpy (single-device build), or the build runs inside
-    a ``shard_map`` region over the trajectory axis (``cp.spmd_local``),
-    where each shard sees a local unsharded block.  Outside those cases
-    (a GSPMD-partitioned build), kernels stay off: a Mosaic custom call
+    """True when the Pallas kernels may be invoked: the problem arrays
+    are host numpy (single-device build); the build is mesh-sharded with
+    a known trajectory axis (``cp.mesh`` — each kernel call then wraps
+    itself in a per-call ``shard_map`` island via :func:`_shmap`); or
+    the build already runs inside a ``shard_map`` region
+    (``cp.spmd_local``).  Outside those cases (a GSPMD-partitioned build
+    with no mesh information), kernels stay off: a Mosaic custom call
     has no SPMD partitioning rule, so the partitioner would replicate or
-    fail on it — ``parallel.mesh`` instead wraps the whole per-shard fg
-    in ``shard_map`` and sets ``spmd_local``."""
-    return cp.spmd_local or isinstance(cp.psi0, np.ndarray)
+    fail on it."""
+    return (
+        cp.spmd_local
+        or cp.mesh is not None
+        or isinstance(cp.psi0, np.ndarray)
+    )
+
+
+def _local_traj(cp: CompiledProblem):
+    """Per-shard trajectory count: the kernel VMEM/lane gates must see
+    the LOCAL block size on a mesh-sharded build (``shard_problem``
+    guarantees divisibility)."""
+    if cp.mesh is None:
+        return cp.n_traj
+    return cp.n_traj // int(cp.mesh.devices.size)
+
+
+def _shmap(cp: CompiledProblem, fn, in_specs, out_specs):
+    """Wrap a Pallas kernel invocation in a ``shard_map`` island over the
+    trajectory axis of a mesh-sharded build (VERDICT round-3 item 2: a
+    Mosaic custom call has no GSPMD partitioning rule, so without this
+    every ``optimize(mesh=...)`` run dropped to the XLA fallback paths).
+    Each shard runs the kernel on its local trajectory block; the
+    surrounding program stays GSPMD-partitioned and XLA inserts the
+    reshards at the island boundary.  ``check_vma=False``: outputs
+    declared replicated (e.g. the shared-generator U stream) are
+    bit-identical on every shard by construction — each shard computes
+    them from identical replicated inputs.  No-op off-mesh."""
+    if cp.mesh is None:
+        return fn
+    return jax.shard_map(
+        fn, mesh=cp.mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
 
 
 def _pallas_platform_ok(cp: CompiledProblem):
@@ -1133,7 +1175,8 @@ def _pallas_chi_enabled(cp: CompiledProblem):
     if cp.psi0.dtype != np.complex64:
         return False
     # VMEM guard: 2 x (K, d) f32 scratch + resident chi0/out blocks
-    if cp.n_traj * cp.dim * 8 > 4 * 1024**2:
+    # (per-shard block size on a mesh build)
+    if _local_traj(cp) * cp.dim * 8 > 4 * 1024**2:
         return False
     return _pallas_platform_ok(cp)
 
@@ -1151,7 +1194,7 @@ def _pallas_smalld_enabled(cp: CompiledProblem, pds):
         return False
     if cp.per_traj_coeffs:
         return False
-    if cp.shared_generator or cp.dim > 4 or cp.n_traj < 128:
+    if cp.shared_generator or cp.dim > 4 or _local_traj(cp) < 128:
         return False
     if cp.storage_mode == "recompute":
         return False
@@ -1342,9 +1385,15 @@ def _chi_trajectory(cp: CompiledProblem, storage, Us, chi_hat, safe_rho):
         # scan well inside the full program — but exact and dispatch-free)
         from .ops.pallas_prop import chi_scan_pallas_shared
 
-        return chi_scan_pallas_shared(
-            Us, chi_hat, interpret=_pallas_interpret(cp)
-        )
+        def _chik(Us_, chi0_):
+            return chi_scan_pallas_shared(
+                Us_, chi0_, interpret=_pallas_interpret(cp)
+            )
+
+        ax = cp.mesh_axis
+        return _shmap(
+            cp, _chik, in_specs=(P(), P(ax)), out_specs=P(None, ax)
+        )(Us, chi_hat)
 
     def chi_body(chi, n):
         chi_in = chi  # χ(t_{n+1}) — what step n's recursion consumes
@@ -1466,7 +1515,7 @@ def _pallas_gradgen_enabled(cp: CompiledProblem):
     # of 8 directions ride the kernel grid (pallas_frechet k_block) —
     # capped where the streamed (N_T·K/8, 8, 128)-trace output and the
     # repeated psi/chi blocks stop being negligible against the compute
-    if cp.dim > 128 or cp.n_traj > 256:
+    if cp.dim > 128 or _local_traj(cp) > 256:
         return False
     return _pallas_platform_ok(cp)
 
@@ -1494,7 +1543,7 @@ def _pallas_gradgen_pertraj_enabled(cp: CompiledProblem):
         return False
     if np.asarray(cp.M).shape[-2] < 1:
         return False
-    if cp.dim < 16 or cp.dim > 128 or cp.n_traj > 1024:
+    if cp.dim < 16 or cp.dim > 128 or _local_traj(cp) > 1024:
         return False
     return _pallas_platform_ok(cp)
 
@@ -1550,14 +1599,24 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, tables, storage,
         # Fréchet factors + the T trace reductions never leave the chip
         from .ops.pallas_frechet import frechet_trace_pallas_shared
 
-        trj = frechet_trace_pallas_shared(
+        def _ftk(h0, ops1, co, dts, psis_, chis_):
+            return frechet_trace_pallas_shared(
+                h0, ops1, co, dts, psis_, chis_,
+                n_squarings=_pallas_squarings(cp, amp_max),
+                precision=cp.gradgen_pallas_precision,
+                interpret=_pallas_interpret(cp),
+            )
+
+        ax = cp.mesh_axis
+        trj = _shmap(
+            cp, _ftk,
+            in_specs=(P(), P(), P(), P(), P(None, ax), P(None, ax)),
+            out_specs=P(None, ax),
+        )(
             H0_[0], ops_[0],
             tables[0].astype(jnp.float32),
             dt.astype(jnp.float32),
             storage[:-1], chis,
-            n_squarings=_pallas_squarings(cp, amp_max),
-            precision=cp.gradgen_pallas_precision,
-            interpret=_pallas_interpret(cp),
         )  # (N_T, K, T)
         a_all = (-1j * dt).astype(cdtype)
         grads = a_all[:, None, None] * jnp.einsum(
@@ -1571,14 +1630,24 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, tables, storage,
         # all time steps (VERDICT round-3 item 1)
         from .ops.pallas_frechet import frechet_trace_pallas_pertraj
 
-        trj = frechet_trace_pallas_pertraj(
+        def _ftk(h0, opsk, co, dts, psis_, chis_):
+            return frechet_trace_pallas_pertraj(
+                h0, opsk, co, dts, psis_, chis_,
+                n_squarings=_pallas_squarings(cp, amp_max),
+                precision=cp.gradgen_pallas_precision,
+                interpret=_pallas_interpret(cp),
+            )
+
+        ax = cp.mesh_axis
+        trj = _shmap(
+            cp, _ftk,
+            in_specs=(P(ax), P(ax), P(), P(), P(None, ax), P(None, ax)),
+            out_specs=P(None, ax),
+        )(
             H0_, ops_,
             tables[0].astype(jnp.float32),
             dt.astype(jnp.float32),
             storage[:-1], chis,
-            n_squarings=_pallas_squarings(cp, amp_max),
-            precision=cp.gradgen_pallas_precision,
-            interpret=_pallas_interpret(cp),
         )  # (N_T, K, T)
         a_all = (-1j * dt).astype(cdtype)
         grads = a_all[:, None, None] * jnp.einsum(
@@ -1832,12 +1901,23 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False,
             )
             coeffs = tables[0].astype(jnp.float32)
             dts = jnp.diff(tlist_j).astype(jnp.float32)
-            out = forward_scan_pallas_smalld(
-                tables[2], tables[3], coeffs, dts, cp.psi0,
-                n_squarings=_pallas_squarings(cp, amp_max),
-                with_propagators=want_U,
-                interpret=_pallas_interpret(cp),
+            def _fwd(h0, opsk, co, dts_, psi0_):
+                return forward_scan_pallas_smalld(
+                    h0, opsk, co, dts_, psi0_,
+                    n_squarings=_pallas_squarings(cp, amp_max),
+                    with_propagators=want_U,
+                    interpret=_pallas_interpret(cp),
+                )
+
+            ax = cp.mesh_axis
+            out_sp = (
+                (P(None, ax), P(None, ax)) if want_U else P(None, ax)
             )
+            out = _shmap(
+                cp, _fwd,
+                in_specs=(P(ax), P(ax), P(), P(), P(ax)),
+                out_specs=out_sp,
+            )(tables[2], tables[3], coeffs, dts, cp.psi0)
             storage, Us = out if want_U else (out, None)
         elif _pallas_forward_enabled(cp, pd):
             amp_max = (
@@ -1845,22 +1925,42 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False,
             )
             coeffs = tables[0].astype(jnp.float32)
             dts = jnp.diff(tlist_j).astype(jnp.float32)
+            ax = cp.mesh_axis
             if cp.shared_generator:
-                # one expm per step applied to the (K, d) state block
-                out = forward_scan_pallas_shared(
-                    tables[2][0], tables[3][0],
-                    coeffs, dts, cp.psi0,
-                    n_squarings=_pallas_squarings(cp, amp_max),
-                    with_propagators=want_U,
-                    interpret=_pallas_interpret(cp),
-                )
+                # one expm per step applied to the (K, d) state block;
+                # on a mesh the U stream is replicated (identical on
+                # every shard: computed from replicated operator inputs)
+                def _fwd(h0, ops1, co, dts_, psi0_):
+                    return forward_scan_pallas_shared(
+                        h0, ops1, co, dts_, psi0_,
+                        n_squarings=_pallas_squarings(cp, amp_max),
+                        with_propagators=want_U,
+                        interpret=_pallas_interpret(cp),
+                    )
+
+                out_sp = (P(None, ax), P()) if want_U else P(None, ax)
+                out = _shmap(
+                    cp, _fwd,
+                    in_specs=(P(), P(), P(), P(), P(ax)),
+                    out_specs=out_sp,
+                )(tables[2][0], tables[3][0], coeffs, dts, cp.psi0)
             else:
-                out = forward_scan_pallas(
-                    tables[2], tables[3], coeffs, dts, cp.psi0,
-                    n_squarings=_pallas_squarings(cp, amp_max),
-                    with_propagators=want_U,
-                    interpret=_pallas_interpret(cp),
+                def _fwd(h0, opsk, co, dts_, psi0_):
+                    return forward_scan_pallas(
+                        h0, opsk, co, dts_, psi0_,
+                        n_squarings=_pallas_squarings(cp, amp_max),
+                        with_propagators=want_U,
+                        interpret=_pallas_interpret(cp),
+                    )
+
+                out_sp = (
+                    (P(None, ax), P(None, ax)) if want_U else P(None, ax)
                 )
+                out = _shmap(
+                    cp, _fwd,
+                    in_specs=(P(ax), P(ax), P(), P(), P(ax)),
+                    out_specs=out_sp,
+                )(tables[2], tables[3], coeffs, dts, cp.psi0)
             storage, Us = out if want_U else (out, None)
         elif want_U:
             storage, Us = _forward(cp, tables, pd, with_U=True)

@@ -126,6 +126,11 @@ def shard_problem(cp: CompiledProblem, mesh, axis=None):
         psi0=_put(cp.psi0, traj_sharding),
         H0=_put(cp.H0, op_sharding),
         ops=_put(cp.ops, op_sharding),
+        # recorded so the fg build can wrap Pallas kernel invocations in
+        # per-call shard_map islands (fg._shmap) — without this every
+        # mesh run fell back to the XLA-only paths (VERDICT r3 item 2)
+        mesh=mesh,
+        mesh_axis=axis,
     )
 
 
