@@ -42,14 +42,37 @@ __all__ = ["DeviceLoopBackend"]
 
 class DeviceLoopBackend:
     def __init__(self, transformation=None, chunk_iters=10,
-                 project_bounds=True):
-        import optax
+                 project_bounds=True, m=10, maxls=20):
+        # default: the native traced L-BFGS + Moré-Thuente line search
+        # (optimizers/jax_lbfgs.py) — ~1 fg evaluation/iteration where
+        # optax.lbfgs's zoom spends ~2.1 (BENCH.md round 3: the zoom
+        # overhead made the device loop lose its own benchmark).  Any
+        # optax GradientTransformation is still accepted.
+        self.native = transformation is None or transformation == "native"
+        if self.native:
+            self.tx = None
+        else:
+            import optax
 
-        if transformation is None:
-            transformation = optax.lbfgs()
-        self.tx = optax.with_extra_args_support(transformation)
+            self.tx = optax.with_extra_args_support(transformation)
         self.chunk_iters = int(chunk_iters)
         self.project_bounds = project_bounds
+        self.m = int(m)
+        self.maxls = int(maxls)
+
+    def _init_state(self, x):
+        import jax.numpy as jnp
+
+        x = jnp.asarray(x)
+        if self.native:
+            m = self.m
+            return (
+                jnp.zeros((m, x.shape[0]), x.dtype),
+                jnp.zeros((m, x.shape[0]), x.dtype),
+                jnp.zeros((m,), x.dtype),
+                jnp.asarray(0, dtype=jnp.int32),
+            )
+        return self.tx.init(x)
 
     # -- chunk program ------------------------------------------------------
 
@@ -114,6 +137,65 @@ class DeviceLoopBackend:
         lo = jnp.asarray(wrk.lower_bounds)
         hi = jnp.asarray(wrk.upper_bounds)
         project = has_bounds and self.project_bounds
+
+        if self.native:
+            from .jax_lbfgs import make_lbfgs_iter
+
+            n_pulse = int(np.asarray(wrk.pulsevals).shape[0])
+
+            def chunk_fn(x, opt_state, J, g, arrs):
+                def fg_flat(p):
+                    return fg_j(p, arrs)
+
+                _init, lstep = make_lbfgs_iter(
+                    fg_flat, n=n_pulse, m=self.m,
+                    lower=lo if project else None,
+                    upper=hi if project else None,
+                    maxls=self.maxls,
+                )
+                aux_sd = jax.eval_shape(fg_flat, x)[2]
+                aux0 = jax.tree_util.tree_map(
+                    lambda sd: jnp.zeros(sd.shape, sd.dtype), aux_sd
+                )
+
+                def body(carry, _):
+                    x, st, J, g, aux = carry
+                    x2, st2, J2, g2, aux2, alpha, nfev = lstep(
+                        x, st, J, g, aux
+                    )
+                    out = {
+                        "x": x2,
+                        "J": J2,
+                        "g": g2,
+                        "update": x2 - x,
+                        "J_parts": aux2["J_parts"],
+                        "tau": aux2["tau"],
+                        "psi_T": aux2["psi_T"],
+                        "chi_ok": aux2["chi_ok"],
+                        "taylor_ok": aux2.get(
+                            "taylor_ok", jnp.asarray(True)
+                        ),
+                        "alpha": alpha.astype(jnp.float32),
+                        # extra fg evals beyond the accepted one (the
+                        # replay counts 1 + ls_steps per iteration)
+                        "ls_steps": jnp.maximum(
+                            nfev - 1, 0
+                        ).astype(jnp.int32),
+                    }
+                    return (x2, st2, J2, g2, aux2), out
+
+                (x_f, st_f, J_f, g_f, _aux), trace = lax.scan(
+                    body, (x, opt_state, J, g, aux0), None,
+                    length=n_iters,
+                )
+                return (x_f, st_f, J_f, g_f), trace
+
+            chunk = jax.jit(chunk_fn, **jit_kwargs)
+
+            def call(x, opt_state, J, g):
+                return chunk(x, opt_state, J, g, dev)
+
+            return call
 
         from .optax_backend import make_exact_value_fn, tree_get_optax
 
@@ -190,7 +272,7 @@ class DeviceLoopBackend:
         if rec:
             wrk.result.records.append(rec)
 
-        opt_state = self.tx.init(jnp.asarray(x))
+        opt_state = self._init_state(x)
         chunk_cache = {}
         import time as _time
 
@@ -261,7 +343,7 @@ class DeviceLoopBackend:
                         wrk.fg, wrk.f = wrk._programs()
                     wrk.pulsevals = x
                     J = fg(0.0, g, x)  # re-sync carry at the re-seed x
-                    opt_state = self.tx.init(jnp.asarray(x))
+                    opt_state = self._init_state(x)
                     stopped = True
                     break
                 x = x_i
