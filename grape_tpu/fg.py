@@ -308,7 +308,7 @@ def compile_problem(
     # host memory.  Creating them eagerly on device would require a
     # device->host copy at trace time, which the axon TPU platform does not
     # implement for complex dtypes.
-    return CompiledProblem(
+    cp = CompiledProblem(
         psi0=np.asarray(psi0),
         H0=np.asarray(H0),
         ops=np.asarray(ops),
@@ -330,7 +330,9 @@ def compile_problem(
         g_b=g_b,
         xi=xi,
         lambda_b=float(lambda_b),
-        gradient_method=gradient_method,
+        gradient_method=(
+            "gradgen" if gradient_method == "auto" else gradient_method
+        ),
         taylor_grad_max_order=int(taylor_grad_max_order),
         taylor_grad_tolerance=float(taylor_grad_tolerance),
         taylor_grad_check_convergence=bool(taylor_grad_check_convergence),
@@ -384,6 +386,16 @@ def compile_problem(
             ),
         ),
     )
+    if gradient_method == "auto":
+        # measurement-backed selection (BENCH.md): gradgen wins wherever
+        # the time-vectorized rank-1 Frechet path (and its fused kernels)
+        # serves — ExpProp propagation, full storage, dim <= 128; outside
+        # that regime (Chebyshev propagation, large dims) the per-step
+        # extended-state gradgen is d^3-per-direction and loses to the
+        # taylor recursion (dim-1024 cheby: 0.5% vs 3.2% device MFU)
+        if not _vec_gradgen_enabled(cp):
+            cp.gradient_method = "taylor"
+    return cp
 
 
 def _make_norm_cache(H0, ops, with_spectral=False):

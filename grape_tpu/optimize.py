@@ -33,7 +33,9 @@ def optimize(trajectories, tlist, **kwargs):
     Keyword-argument contract mirrors ``/root/reference/src/docstring.jl``:
     required ``J_T``; optional ``chi``, ``chi_min_norm``, ``J_a``,
     ``grad_J_a``, ``lambda_a``, ``g_b``, ``xi``, ``lambda_b``,
-    ``gradient_method`` ("gradgen"/"taylor"), ``taylor_grad_max_order``,
+    ``gradient_method`` ("gradgen"/"taylor"/"auto": gradgen where the
+    vectorized rank-1 Fréchet path serves, else taylor),
+    ``taylor_grad_max_order``,
     ``taylor_grad_tolerance``, ``taylor_grad_check_convergence``,
     ``upper_bound``/``lower_bound``/``pulse_options``, ``callback``,
     ``check_convergence``, ``iter_start``/``iter_stop``, ``continue_from``,
