@@ -176,6 +176,59 @@ def two_transmon_subspace_gate_problem(
     return ControlProblem(trajectories, tlist, **kwargs)
 
 
+def two_transmon_cz_ensemble_problem(
+    n_samples=8, d=10, delta_spread=0.02, delta1=0.0, delta2=0.5,
+    alpha1=-1.2, alpha2=-1.0, J=0.05, T=50.0, n_steps=2000, E0=0.05,
+    seed=0, **kwargs
+):
+    """Robust two-transmon CZ (BASELINE config-5 north star): an ensemble
+    of ``n_samples`` perturbed Hamiltonians — per-sample detunings drawn
+    from ``±delta_spread`` — each propagating the 4 logical basis states,
+    so ``K = 4·n_samples`` trajectories with **K distinct generators**
+    sharing one set of 4 drive controls.  This is the per-trajectory-
+    generator regime served by the fused ``frechet_trace_pallas_pertraj``
+    kernel (the reference handles it with per-trajectory propagators
+    under its thread loop, ``/root/reference/src/workspace.jl:221-233``,
+    ``src/optimize.jl:876-911``)."""
+    rng = np.random.default_rng(seed)
+    tlist = np.linspace(0, T, n_steps + 1)
+
+    def mk_guess(scale):
+        def g(t):
+            return scale * float(
+                flattop(t, T=T, t_rise=min(5.0, T / 10.0), func="blackman")
+            )
+        return g
+
+    guesses = [mk_guess(E0), mk_guess(0.0), mk_guess(E0), mk_guess(0.0)]
+
+    dim = d * d
+
+    def logical(i, j):
+        v = np.zeros(dim, dtype=complex)
+        v[i * d + j] = 1.0
+        return v
+
+    basis = [logical(0, 0), logical(0, 1), logical(1, 0), logical(1, 1)]
+    cz_phases = [1.0, 1.0, 1.0, -1.0]
+    trajectories = []
+    for _ in range(n_samples):
+        d1 = delta1 + rng.uniform(-delta_spread, delta_spread)
+        d2 = delta2 + rng.uniform(-delta_spread, delta_spread)
+        H0, drives = _two_transmon_hamiltonian(
+            d, d1, d2, alpha1, alpha2, J
+        )
+        # the SAME guess callables across samples: one shared control set
+        H = hamiltonian(H0, *zip(drives, guesses))
+        for b, ph in zip(basis, cz_phases):
+            trajectories.append(
+                Trajectory(b, H, target_state=ph * b,
+                           weight=1.0 / n_samples)
+            )
+    kwargs.setdefault("J_T", J_T_sm)
+    return ControlProblem(trajectories, tlist, **kwargs)
+
+
 def transmon_ensemble_trajectories(
     n_samples, d=3, delta_spread=0.02, alpha=-0.3 * 2 * np.pi,
     T=20.0, E0=0.05, seed=0,

@@ -160,3 +160,29 @@ def test_tls_xgate_problem():
     assert min(abs(o) for o in overlaps) > 0.999
     phases = np.angle(np.asarray(overlaps))
     assert np.ptp((phases - phases[0] + np.pi) % (2 * np.pi)) < 1e-2
+
+
+def test_two_transmon_cz_ensemble_problem():
+    """Robust-CZ ensemble (BASELINE config-5 shape): K = 4·n_samples
+    trajectories with DISTINCT generators sharing one 4-control set —
+    the per-trajectory-generator regime (reference per-trajectory
+    propagators, `/root/reference/src/workspace.jl:221-233`); gradgen
+    and taylor agree on the gradient."""
+    from grape_tpu.fg import build_fg, compile_problem
+    from grape_tpu.models import two_transmon_cz_ensemble_problem
+
+    problem = two_transmon_cz_ensemble_problem(
+        n_samples=2, d=4, T=2.0, n_steps=10,
+    )
+    cp = compile_problem(problem.trajectories, problem.tlist,
+                         **problem.kwargs)
+    assert cp.n_traj == 8 and cp.dim == 16 and cp.n_controls == 4
+    assert not cp.shared_generator and not cp.per_traj_coeffs
+    x = cp.guess_pulsevals.reshape(-1)
+    J1, g1, _ = build_fg(cp)(x)
+    import dataclasses
+
+    cp_t = dataclasses.replace(cp, gradient_method="taylor", env_cache={})
+    J2, g2, _ = build_fg(cp_t)(x)
+    assert abs(float(J1) - float(J2)) < 1e-10
+    assert np.max(np.abs(np.asarray(g1) - np.asarray(g2))) < 1e-10
