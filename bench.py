@@ -79,6 +79,17 @@ def _peak_flops(device):
     return None
 
 
+def _env_info():
+    """Platform/device labels attached to every row (VERDICT r3 item 5:
+    rows did not record where they ran, so a CPU-mesh capture and an
+    on-chip capture of the same metric could not be reconciled)."""
+    d = jax.devices()[0]
+    return {
+        "platform": d.platform,
+        "device_kind": getattr(d, "device_kind", ""),
+    }
+
+
 def _build_cz(n_steps, dtype, gradient_method="taylor"):
     from grape_tpu.fg import build_fg, compile_problem
     from grape_tpu.models import two_transmon_cz_problem
@@ -93,27 +104,35 @@ def _build_cz(n_steps, dtype, gradient_method="taylor"):
 
 
 def _time_fg(fg, x, n_iter, pipelined=False):
+    """Timing stats dict: ``mean``/``std`` of per-evaluation synced wall
+    time over ``n_reps`` repeats (each evaluation hard-synced by the
+    scalar J transfer), plus ``pipelined`` mean (n dispatches, ONE sync —
+    amortizes the ~27-31 ms per-call launch+sync latency of the axon
+    tunnel, isolating device time) when requested.  Repeat counts and
+    dispersion ride every bench row so runs are self-describing
+    (VERDICT round-3 item 5)."""
     rng = np.random.default_rng(0)
     J = float(fg(x)[0])  # warmup: trace + device compile + first execution
     assert np.isfinite(J)
     xs = [x + 0.01 * rng.normal(size=x.shape) for _ in range(n_iter)]
-    t0 = time.perf_counter()
-    acc = 0.0
+    ts = []
     for xi in xs:
-        acc += float(fg(xi)[0])  # scalar host transfer = hard sync
-    dt = (time.perf_counter() - t0) / n_iter
-    assert np.isfinite(acc)
-    if not pipelined:
-        return dt
-    # pipelined: n dispatches, ONE sync — amortizes the per-call
-    # launch+sync latency (~27-31 ms through the axon tunnel; measured
-    # pipelinable, experiments/mxu_probe.py), isolating device time
-    t0 = time.perf_counter()
-    outs = [fg(xi) for xi in xs]
-    acc = float(outs[-1][0])
-    dt_pipe = (time.perf_counter() - t0) / n_iter
-    assert np.isfinite(acc)
-    return dt, dt_pipe
+        t1 = time.perf_counter()
+        v = float(fg(xi)[0])  # scalar host transfer = hard sync
+        ts.append(time.perf_counter() - t1)
+        assert np.isfinite(v)
+    out = {
+        "mean": float(np.mean(ts)),
+        "std": float(np.std(ts)),
+        "n_reps": int(n_iter),
+    }
+    if pipelined:
+        t0 = time.perf_counter()
+        outs = [fg(xi) for xi in xs]
+        acc = float(outs[-1][0])
+        out["pipelined"] = (time.perf_counter() - t0) / n_iter
+        assert np.isfinite(acc)
+    return out
 
 
 def _flops_estimate(fg, x):
@@ -185,6 +204,23 @@ def _sweep_configs():
         )
         return build_fg(cp), cp
 
+    def cz_ensemble(n_samples, n_steps, method="gradgen", T=50.0,
+                    use_pallas="auto"):
+        # robust-CZ ensemble: K = 4*n_samples DISTINCT generators, one
+        # shared control set (BASELINE config-5 north star) — the
+        # per-trajectory-generator regime of frechet_trace_pallas_pertraj
+        from grape_tpu.models import two_transmon_cz_ensemble_problem
+
+        problem = two_transmon_cz_ensemble_problem(
+            n_samples=n_samples, d=10, n_steps=n_steps, T=T
+        )
+        cp = compile_problem(
+            problem.trajectories, problem.tlist, dtype=np.complex64,
+            gradient_method=method, use_pallas=use_pallas,
+            **problem.kwargs
+        )
+        return build_fg(cp), cp
+
     def ensemble(K, n_steps):
         from grape_tpu.models import transmon_ensemble_trajectories
 
@@ -201,6 +237,14 @@ def _sweep_configs():
         ("cz_optimize_iters", None, 800, 4),  # end-to-end GRAPE iters/s
         ("dim100_cz_gradgen", lambda: cz(10, 800, "gradgen", "expprop"),
          800, 4),  # fused Fréchet kernel MFU row
+        # per-trajectory-generator kernel vs its XLA fallback (VERDICT
+        # round-3 item 1: the >=3x claim at dim=100, K>=16 distinct H)
+        ("dim100_cz_ensembleK32_gradgen",
+         lambda: cz_ensemble(8, 800), 800, 32),
+        ("dim100_cz_ensembleK32_gradgen_xla",
+         lambda: cz_ensemble(8, 800, use_pallas=False), 800, 32),
+        ("dim100_cz_ensembleK8_gradgen",
+         lambda: cz_ensemble(2, 800), 800, 8),
         ("ensemble1024_qutrit_taylor", lambda: ensemble(1024, 400),
          400, 1024),  # BASELINE config 5 (small-dim lane kernel)
         ("cz_device_loop_iters", None, 800, 4),  # device-resident loop
@@ -265,6 +309,7 @@ def _optimize_iters_entry(name):
         incl = len(dts) / max(float(np.sum(dts)), 1e-9)
     return {
         "config": name,
+        **_env_info(),
         "dim": 100,
         "n_steps": 800,
         "iters": int(res.iter),
@@ -277,14 +322,16 @@ def _optimize_iters_entry(name):
 
 def _device_loop_iters_entry(name):
     """End-to-end GRAPE iterations/s with the DEVICE-RESIDENT optimizer
-    loop (``optimizer="device-lbfgs"``): chunks of optax-L-BFGS iterations
-    run inside one jitted scan with fg inlined, one host sync per chunk —
-    the round-3 answer to the ~27-31 ms per-call host↔device floor that
-    caps any reverse-communication optimizer at ~20-30 iters/s here.
-    Steady state excludes the first chunk (program compile + first-exec
-    queue): rate = iterations after the first chunk boundary / wall time
-    after it.  ``fg_evals_per_s`` counts line-search probes (honest
-    work-rate; the optax zoom line search costs >1 fg per iteration)."""
+    loop (``optimizer="device-lbfgs"``): chunks of the NATIVE traced
+    L-BFGS + Moré-Thuente strong-Wolfe iterations (round 4;
+    optimizers/jax_lbfgs.py — ~1.55 fg/iteration where the round-3 optax
+    zoom spent ~2.1 plus a mandatory re-evaluation) run inside one
+    jitted scan with fg inlined, one host sync per chunk — the answer to
+    the ~27-31 ms per-call host↔device floor that caps any
+    reverse-communication optimizer at ~20-30 iters/s here.  Steady
+    state excludes the first chunk (program compile + first-exec queue):
+    rate = iterations after the first chunk boundary / wall time after
+    it.  ``fg_evals_per_s`` counts line-search probes."""
     from grape_tpu import optimize_problem
     from grape_tpu.models import two_transmon_cz_problem
 
@@ -314,12 +361,14 @@ def _device_loop_iters_entry(name):
     last_it = stamps[-1][0]
     entry = {
         "config": name,
+        **_env_info(),
         "dim": 100,
         "n_steps": 800,
         "iters": int(res.iter),
         "fg_calls": int(res.fg_calls),
         "J_T": round(float(res.J_T), 6),
         "chunk_iters": chunk,
+        "optimizer": "native-lbfgs-mt",
     }
     if last_it > chunk and chunk in t_by_iter:
         dt = t_by_iter[last_it] - t_by_iter[chunk]
@@ -338,23 +387,36 @@ def _sharded_overhead_entry(name):
     partitioning + the inserted (trivial) collectives, an upper bound on
     the per-chip overhead a real multi-chip run would add on top of the
     psum latency (payload: the L·N_T-float gradient + 3 J-parts)."""
+    from grape_tpu import fg as _fg
     from grape_tpu.parallel import build_fg_sharded, make_mesh
 
     fg, cp = _build_cz(N_STEPS, dtype=np.complex64)
     x = cp.guess_pulsevals.reshape(-1)
-    dt_plain = _time_fg(fg, x, n_iter=5)
+    t_plain = _time_fg(fg, x, n_iter=10)
     mesh = make_mesh(1)
     fg_sh, cp_sh = build_fg_sharded(cp, mesh)
-    dt_sh = _time_fg(fg_sh, x, n_iter=5)
+    t_sh = _time_fg(fg_sh, x, n_iter=10)
+    dt_plain, dt_sh = t_plain["mean"], t_sh["mean"]
     grad_bytes = 4 * cp.n_controls * cp.n_timesteps  # f32 psum payload
     return {
         "config": name,
+        **_env_info(),
         "dim": cp.dim,
         "n_steps": N_STEPS,
+        "n_reps": t_plain["n_reps"],
         "ms_per_eval_unsharded": round(dt_plain * 1000, 2),
+        "ms_std_unsharded": round(t_plain["std"] * 1000, 2),
         "ms_per_eval_sharded_1dev": round(dt_sh * 1000, 2),
+        "ms_std_sharded_1dev": round(t_sh["std"] * 1000, 2),
         "spmd_overhead_ms": round((dt_sh - dt_plain) * 1000, 2),
         "spmd_overhead_frac": round(dt_sh / dt_plain - 1.0, 4),
+        # round 4: kernels now run under mesh sharding (shard_map
+        # islands) — record whether the sharded build used them
+        "kernels_active_sharded": bool(
+            _fg._pallas_forward_enabled(cp_sh, None)
+            or _fg._pallas_gradgen_enabled(cp_sh)
+            or _fg._pallas_gradgen_pertraj_enabled(cp_sh)
+        ),
         "psum_payload_bytes": grad_bytes,
     }
 
@@ -376,14 +438,18 @@ def _run_one_sweep_config(name):
             continue
         fg_s, cp_s = build()
         x_s = cp_s.guess_pulsevals.reshape(-1)
-        dt_s, dt_pipe = _time_fg(fg_s, x_s, n_iter=3, pipelined=True)
+        t_s = _time_fg(fg_s, x_s, n_iter=4, pipelined=True)
+        dt_s, dt_pipe = t_s["mean"], t_s["pipelined"]
         flops = _flops_analytic(cp_s)
         flops_xla = _flops_estimate(fg_s, x_s)
         entry = {
             "config": name,
+            **_env_info(),
             "dim": cp_s.dim,
             "n_steps": n_steps,
+            "n_reps": t_s["n_reps"],
             "ms_per_eval": round(dt_s * 1000, 2),
+            "ms_std": round(t_s["std"] * 1000, 2),
             "ms_per_eval_pipelined": round(dt_pipe * 1000, 2),
             "traj_steps_per_s": round(n_steps * k_traj / dt_s, 1),
         }
@@ -485,7 +551,8 @@ def main():
     # ---- headline: CZ dim=100 taylor fg ---------------------------------
     fg, cp = _build_cz(N_STEPS, dtype=np.complex64)
     x = cp.guess_pulsevals.reshape(-1)
-    dt_accel, dt_pipe = _time_fg(fg, x, n_iter=5, pipelined=True)
+    t_h = _time_fg(fg, x, n_iter=5, pipelined=True)
+    dt_accel, dt_pipe = t_h["mean"], t_h["pipelined"]
     steps_per_s = N_STEPS * K_TRAJ / dt_accel
     headline_flops = _flops_analytic(cp) or _flops_estimate(fg, x)
 
@@ -498,7 +565,7 @@ def main():
             fg_c, cp_c = _build_cz(n_cpu, dtype=np.complex128)
             dt_cpu = _time_fg(
                 fg_c, cp_c.guess_pulsevals.reshape(-1), n_iter=2
-            )
+            )["mean"]
         cpu_steps_per_s = n_cpu * K_TRAJ / dt_cpu
         vs_baseline = round(steps_per_s / cpu_steps_per_s, 2)
     except Exception:
@@ -516,10 +583,11 @@ def main():
         fg_g, cp_g = _build_cz(
             N_STEPS, dtype=np.complex64, gradient_method="gradgen"
         )
-        dt_g, dt_g_pipe = _time_fg(
+        t_g = _time_fg(
             fg_g, cp_g.guess_pulsevals.reshape(-1), n_iter=5,
             pipelined=True,
         )
+        dt_g, dt_g_pipe = t_g["mean"], t_g["pipelined"]
         flops_g = _flops_analytic(cp_g)
         best = {
             "method": "gradgen+pallas_frechet",
@@ -546,6 +614,9 @@ def main():
         "value": round(steps_per_s, 1),
         "unit": "traj-steps/s",
         "vs_baseline": vs_baseline,
+        **_env_info(),
+        "headline_n_reps": t_h["n_reps"],
+        "headline_ms_std": round(t_h["std"] * 1000, 2),
         "sweep": sweep,
     }
     if best is not None:

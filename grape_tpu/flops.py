@@ -95,9 +95,14 @@ def fg_flops(cp, amp_max=None):
         total *= 2.0
 
     if vec_gg and not recompute:
-        # phase A: chi chain, one matvec/step; phase B: one rank-1
-        # Fréchet per step (directions = K when the base is shared)
-        total += N_T * K * MV
+        # phase A: chi chain — one U†χ matvec/step with stored
+        # propagators, else (U storage over budget: the per-trajectory
+        # kernel route) a per-step adjoint expm scan; phase B: one
+        # rank-1 Fréchet per step (directions = K when the base shares)
+        if _fg._gg_u_bytes_ok(cp):
+            total += N_T * K * MV
+        else:
+            total += N_T * (k_u * (e_mm + s) * MM + K * MV)
         total += N_T * K * MV  # R = psi chi† outer products
         if cp.shared_generator:
             if _fg._pallas_gradgen_enabled(cp) and K > 8:

@@ -38,10 +38,29 @@ def as_generator(obj):
     """
     if obj is None or hasattr(obj, "get_controls"):
         return obj
-    arr = np.asarray(obj)
-    if arr.ndim == 2 and arr.shape[0] == arr.shape[1]:
+    try:
+        arr = np.asarray(obj)
+    except Exception:
+        raise TypeError(
+            f"cannot interpret {type(obj).__name__} as a generator: "
+            "pass a Generator (e.g. from hamiltonian(H0, (H1, eps), "
+            "...)) or a square numeric matrix (drift-only)"
+        ) from None
+    if (
+        arr.ndim == 2 and arr.shape[0] == arr.shape[1]
+        and arr.dtype != object
+        and np.issubdtype(arr.dtype, np.number)
+    ):
         return Generator(arr, [])
-    return obj
+    # Anything else is a mistake (e.g. a term list passed where a
+    # generator belongs becomes a (T, 2) object array) — fail here with
+    # a descriptive error instead of an opaque AttributeError later.
+    raise TypeError(
+        f"cannot interpret {type(obj).__name__} of shape "
+        f"{getattr(arr, 'shape', None)} (dtype {arr.dtype}) as a "
+        "generator: pass a Generator (e.g. from hamiltonian(H0, "
+        "(H1, eps), ...)) or a square numeric matrix (drift-only)"
+    )
 
 
 class Generator:

@@ -330,14 +330,20 @@ def make_lbfgs_iter(fg, n, m=10, lower=None, upper=None, maxls=20):
         if project:
             x2 = jnp.clip(x_trial, lower, upper)
             moved = jnp.any(x2 != x_trial)
+            rdt = f2.dtype
+
             # projection changed the point: re-evaluate there so the
             # reported (f, g) and the next curvature pair are consistent
-            f2c, g2c, aux2c = fg(x2)
-            f2 = jnp.where(moved, f2c, f2)
-            g2 = jnp.where(moved, g2c, g2)
-            aux2 = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(moved, a, b), aux2c, aux2
-            )
+            # (lax.cond: the extra fg evaluation only runs when the
+            # projection actually moved the iterate)
+            def _reeval(_):
+                fc, gc, auxc = fg(x2)
+                return fc.astype(rdt), gc, auxc
+
+            def _keep(_):
+                return f2, g2, aux2
+
+            f2, g2, aux2 = lax.cond(moved, _reeval, _keep, None)
             nfev = nfev + jnp.where(moved, 1, 0)
         else:
             x2 = x_trial

@@ -118,6 +118,11 @@ class OptaxBackend:
         has_bounds = np.any(np.isfinite(wrk.lower_bounds)) or np.any(
             np.isfinite(wrk.upper_bounds)
         )
+        # reference Optim-backend diagnostics (`ext/GRAPEOptimExt.jl:89-99`):
+        # objective increases and stalled line searches get actionable
+        # warnings; `allow_f_increases=True` silences the former
+        allow_f_inc = bool(wrk.kwargs.get("allow_f_increases", False))
+        warned_inc = False
         while True:
             # value_fn must be traceable (optax.lbfgs jits its linesearch);
             # its probes count via the ordered io_callback above
@@ -128,10 +133,35 @@ class OptaxBackend:
             )
             step = np.asarray(updates)
             self._capture_introspection(wrk, state, step)
+            if not np.any(step):
+                import warnings
+
+                warnings.warn(
+                    "optax update is identically zero (line search "
+                    "stalled): the optimizer cannot make progress — "
+                    f"‖∇J‖ = {float(np.linalg.norm(g)):.3e}"
+                )
             x += step
             if has_bounds and self.project_bounds:
                 np.clip(x, wrk.lower_bounds, wrk.upper_bounds, out=x)
+            f_prev = float(f)
             f = fg(0.0, g, x)
+            # only line-search transformations promise descent (a fixed
+            # learning rate legitimately overshoots — cf. the reference
+            # warning keyed on Optim's f_increased flag)
+            has_ls = (
+                tree_get_optax(state, "num_linesearch_steps", None)
+                is not None
+            )
+            if has_ls and f > f_prev and not allow_f_inc and not warned_inc:
+                import warnings
+
+                warnings.warn(
+                    f"objective increased ({f_prev:.6e} -> {float(f):.6e});"
+                    " the accepted step was not a descent step (pass "
+                    "allow_f_increases=True to silence)"
+                )
+                warned_inc = True
             it = wrk.result.iter + 1
             update_result(wrk, it)
             rec = callback(wrk, wrk.result.iter)

@@ -25,6 +25,23 @@ class ScipyLBFGSB:
         self.m = int(kwargs.get("lbfgsb_m", 10))
         self.factr = float(kwargs.get("lbfgsb_factr", 1e1))
         self.pgtol = float(kwargs.get("lbfgsb_pgtol", 1e-15))
+        # options passthrough — the reference's Optim backend forwards
+        # x_tol/f_tol/g_tol/show_trace/... into Optim.Options
+        # (`/root/reference/ext/GRAPEOptimExt.jl:74-85`); the scipy
+        # analogs: f_tol -> ftol (relative), g_tol -> gtol (projected
+        # gradient), show_trace -> iprint, plus a raw `scipy_options`
+        # dict merged last for anything scipy's L-BFGS-B accepts
+        self.f_tol = kwargs.get("f_tol")
+        self.g_tol = kwargs.get("g_tol")
+        self.show_trace = bool(kwargs.get("show_trace", False))
+        self.scipy_options = dict(kwargs.get("scipy_options", {}))
+        if kwargs.get("x_tol") is not None:
+            import warnings
+
+            warnings.warn(
+                "x_tol has no scipy L-BFGS-B analog; ignoring "
+                "(use f_tol/g_tol or scipy_options)"
+            )
 
     def run(self, wrk, fg, callback, check_convergence):
         x0 = np.asarray(wrk.pulsevals, dtype=np.float64).copy()
@@ -63,6 +80,18 @@ class ScipyLBFGSB:
             wrk.gradient_guess[:] = wrk.gradient
 
         eps = np.finfo(np.float64).eps
+        options = {
+            "maxiter": max(wrk.result.iter_stop, 1),
+            "maxcor": self.m,
+            "ftol": (
+                self.f_tol if self.f_tol is not None else self.factr * eps
+            ),
+            "gtol": self.g_tol if self.g_tol is not None else self.pgtol,
+            "maxfun": 10**9,
+        }
+        if self.show_trace:
+            options["iprint"] = 100
+        options.update(self.scipy_options)
         try:
             res = minimize(
                 jac_fun,
@@ -71,17 +100,31 @@ class ScipyLBFGSB:
                 method="L-BFGS-B",
                 bounds=bounds,
                 callback=scipy_cb,
-                options={
-                    "maxiter": max(wrk.result.iter_stop, 1),
-                    "maxcor": self.m,
-                    "ftol": self.factr * eps,
-                    "gtol": self.pgtol,
-                    "maxfun": 10**9,
-                },
+                options=options,
             )
             wrk.pulsevals[:] = res.x
             if wrk.result.message == "in progress":
                 wrk.result.message = str(res.message)
+            self._postmortem(res, wrk)
         except _Stop:
             pass
         return None
+
+    @staticmethod
+    def _postmortem(res, wrk):
+        """Line-search-failure diagnostics mirroring the reference's
+        Optim-backend postmortems (`/root/reference/ext/GRAPEOptimExt.jl:89-99`):
+        an abnormal termination gets an actionable warning instead of a
+        silent result message."""
+        msg = str(res.message)
+        if "ABNORM" in msg.upper() or "ERROR" in msg.upper():
+            import warnings
+
+            gnorm = float(np.linalg.norm(np.asarray(wrk.gradient)))
+            warnings.warn(
+                f"L-BFGS-B terminated abnormally: {msg} "
+                f"(J = {float(res.fun):.3e}, ‖∇J‖ = {gnorm:.3e}). "
+                "The line search could not find an acceptable point — "
+                "consider loosening lbfgsb_factr/lbfgsb_pgtol, tighter "
+                "pulse bounds, or rescaling the controls."
+            )

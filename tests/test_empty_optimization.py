@@ -33,14 +33,20 @@ def test_empty_optimization_raises():
 
     assert len(get_controls([t.generator for t in trajectories])) == 0
 
-    with pytest.raises(ValueError, match="no controls in trajectories"):
+    with pytest.raises(
+        ValueError,
+        match="no controls in trajectories: cannot optimize",
+    ):
         optimize(
             trajectories, tlist, J_T=J_T_re, rethrow_exceptions=True,
             print_iters=False,
         )
 
     problem = ControlProblem(trajectories, tlist, J_T=J_T_re)
-    with pytest.raises(ValueError, match="no controls in trajectories"):
+    with pytest.raises(
+        ValueError,
+        match="no controls in trajectories: cannot optimize",
+    ):
         optimize_problem(problem, rethrow_exceptions=True, print_iters=False)
 
 

@@ -106,3 +106,30 @@ def test_heterogeneous_ensemble_optimization():
         rethrow_exceptions=True, print_iters=False,
     )
     assert res.J_T < 1e-2
+
+
+def test_as_generator_rejects_non_numeric():
+    """A mistaken term list (or any object/1D/non-square input) raises a
+    descriptive TypeError instead of silently producing an object-dtype
+    drift (ADVICE round 3); square numeric matrices still coerce
+    (reference static-matrix acceptance, test/test_empty_optimization.jl)."""
+    import pytest
+
+    from grape_tpu.generators import as_generator, hamiltonian
+
+    H1 = np.eye(2)
+
+    def eps(t):
+        return 0.1
+
+    # a term list passed where a generator belongs -> (T, 2) object array
+    with pytest.raises(TypeError, match="as a generator"):
+        as_generator([(H1, eps), (H1, eps)])
+    with pytest.raises(TypeError, match="as a generator"):
+        as_generator(np.arange(4.0))  # 1D
+    with pytest.raises(TypeError, match="as a generator"):
+        as_generator(np.zeros((2, 3)))  # non-square
+    g = as_generator(np.eye(3))
+    assert g.dim == 3 and len(g.terms) == 0
+    h = hamiltonian(np.eye(2), (H1, eps))
+    assert as_generator(h) is h

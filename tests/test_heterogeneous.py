@@ -259,3 +259,58 @@ def test_per_traj_shapes_with_custom_amplitude(gradient_method):
             - (J_of(x + 2 * h * e) - J_of(x - 2 * h * e))
         ) / (12.0 * h)
         assert abs(G[i] - fd) < 1e-10, (i, G[i], fd)
+
+
+def test_per_trajectory_prop_settings():
+    """Per-trajectory propagator settings (reference resolves
+    ``prop_method`` etc. from trajectory attributes,
+    `/root/reference/src/workspace.jl:216-233`, spec
+    `src/docstring.jl:201-225`): a UNIFORM trajectory attribute is
+    honored; heterogeneous (or partial) settings raise a clear
+    NotImplementedError — the TPU build batches all trajectories through
+    one program (documented deviation) — and a conflict with the global
+    kwarg raises ValueError."""
+    import pytest
+
+    from grape_tpu import Trajectory, hamiltonian
+    from grape_tpu.fg import compile_problem
+    from grape_tpu.functionals import J_T_sm
+
+    sz = np.array([[1, 0], [0, -1]], dtype=complex)
+    sx = np.array([[0, 1], [1, 0]], dtype=complex)
+
+    def eps(t):
+        return 0.2 * np.cos(t)
+
+    def mk(**kw):
+        return Trajectory(
+            [1, 0], hamiltonian(-0.5 * sz, (sx, eps)),
+            target_state=[0, 1], **kw
+        )
+
+    tlist = np.linspace(0, 2, 11)
+
+    # uniform attribute: adopted
+    cp = compile_problem(
+        [mk(prop_method="cheby"), mk(prop_method="cheby")], tlist,
+        J_T=J_T_sm,
+    )
+    assert cp.fw_prop_method == "cheby"
+
+    # heterogeneous: rejected with the documented deviation
+    with pytest.raises(NotImplementedError, match="per-trajectory"):
+        compile_problem(
+            [mk(prop_method="cheby"), mk(prop_method="expprop")], tlist,
+            J_T=J_T_sm,
+        )
+    # partial (some trajectories carry it, some not): rejected too
+    with pytest.raises(NotImplementedError, match="per-trajectory"):
+        compile_problem(
+            [mk(fw_prop_method="cheby"), mk()], tlist, J_T=J_T_sm,
+        )
+    # conflict with the global kwarg
+    with pytest.raises(ValueError, match="conflicts with"):
+        compile_problem(
+            [mk(prop_method="cheby"), mk(prop_method="cheby")], tlist,
+            J_T=J_T_sm, prop_method="expprop",
+        )

@@ -32,7 +32,13 @@ def test_tutorial_blocks_execute():
         "gate = ...",
         "gate = np.diag([1, 1, 1, -1]).astype(complex)",
     )
+    # each replace target must exist: a silent no-op would run the full
+    # 100-iteration walkthrough (doc drift weakens the guard)
+    assert "iter_stop=100" in src, "tutorial text drifted: iter_stop"
     src = src.replace("iter_stop=100", "iter_stop=3")
+    assert '"J_T < 10⁻³" if r.J_T < 1e-3' in src, (
+        "tutorial text drifted: convergence message"
+    )
     src = src.replace('"J_T < 10⁻³" if r.J_T < 1e-3',
                       '"J_T < 0.5" if r.J_T < 0.5')
     ns = {}
@@ -40,8 +46,9 @@ def test_tutorial_blocks_execute():
 
     result = ns["result"]
     # The walkthrough must produce a real optimization step: J decreased
-    # from the guess and the result surface is intact.
-    assert result.iter == 3
+    # from the guess and the result surface is intact.  (1 <= iter <= 3:
+    # early convergence or a line-search stop must not flake the guard.)
+    assert 1 <= result.iter <= 3
     assert result.J_T < result.records[0]["J_T"] if result.records else True
     assert len(ns["eps_opt"]) == len(ns["tlist"])
     assert result.fg_calls >= 3
