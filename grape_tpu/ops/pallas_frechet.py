@@ -384,10 +384,16 @@ def frechet_trace_pallas_pertraj(
     opsi = jnp.imag(opsj).astype(f32)
     opstr = jnp.swapaxes(opsr, -1, -2)
     opsti = jnp.swapaxes(opsi, -1, -2)
-    psir = jnp.real(psis).astype(f32)
-    psii = jnp.imag(psis).astype(f32)
-    chir = jnp.real(chis).astype(f32)
-    chii = jnp.imag(chis).astype(f32)
+    # (N_T·K, 1, d) layout: Mosaic requires the last two BLOCK dims to
+    # divide (8, 128) or EQUAL the array dims — a (1, 1, d) block over
+    # (N_T, K, d) violates that (1 vs K on the sublane axis), over
+    # (N_T·K, 1, d) it matches exactly
+    psis_f = jnp.asarray(psis).reshape(N_T * K, 1, d)
+    chis_f = jnp.asarray(chis).reshape(N_T * K, 1, d)
+    psir = jnp.real(psis_f).astype(f32)
+    psii = jnp.imag(psis_f).astype(f32)
+    chir = jnp.real(chis_f).astype(f32)
+    chii = jnp.imag(chis_f).astype(f32)
     coeffs = jnp.asarray(coeffs, dtype=f32)
     dts2 = jnp.asarray(dts, dtype=f32).reshape(N_T, 1)
 
@@ -401,8 +407,10 @@ def frechet_trace_pallas_pertraj(
     # per trajectory), the per-step psi/chi/out blocks advance with n
     mat_k = pl.BlockSpec((1, d, d), lambda k, n, *_: (k, 0, 0))
     ops_k = pl.BlockSpec((T, d, d), lambda k, n, *_: (k, 0, 0))
-    step = pl.BlockSpec((1, 1, d), lambda k, n, *_: (n, k, 0))
-    outspec = pl.BlockSpec((1, 1, LANES), lambda k, n, *_: (n, k, 0))
+    step = pl.BlockSpec((1, 1, d), lambda k, n, *_: (n * K + k, 0, 0))
+    outspec = pl.BlockSpec(
+        (1, 1, LANES), lambda k, n, *_: (n * K + k, 0, 0)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(K, N_T),
@@ -413,11 +421,12 @@ def frechet_trace_pallas_pertraj(
     tjr, tji = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((N_T, K, LANES), f32),
-            jax.ShapeDtypeStruct((N_T, K, LANES), f32),
+            jax.ShapeDtypeStruct((N_T * K, 1, LANES), f32),
+            jax.ShapeDtypeStruct((N_T * K, 1, LANES), f32),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
     )(coeffs, dts2, h0r, h0i, opsr, opsi, opstr, opsti,
       psir, psii, chir, chii)
-    return (tjr[..., :T] + 1j * tji[..., :T]).astype(jnp.complex64)
+    trj = (tjr[..., :T] + 1j * tji[..., :T]).astype(jnp.complex64)
+    return trj.reshape(N_T, K, T)
