@@ -1622,12 +1622,18 @@ def _pallas_gradgen_pertraj_enabled(cp: CompiledProblem):
         return False
     if not _unsharded_host_problem(cp):
         return False
-    if cp.shared_generator or cp.per_traj_coeffs:
+    if cp.shared_generator:
         return False
     if cp.psi0.dtype != np.complex64:
         return False
-    if np.asarray(cp.M).shape[-2] < 1:
+    T_terms = np.asarray(cp.M).shape[-2]
+    if T_terms < 1:
         return False
+    if cp.per_traj_coeffs:
+        # per-trajectory coefficient tables ride the scalar-prefetch
+        # SMEM (1 MB) as a (K·N_T, T) array — gate on a safe share
+        if _local_traj(cp) * cp.n_timesteps * T_terms * 4 > 512 * 1024:
+            return False
     if cp.dim < 16 or cp.dim > 128 or _local_traj(cp) > 1024:
         return False
     return _pallas_platform_ok(cp)
@@ -1712,7 +1718,8 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, tables, storage,
     if _pallas_gradgen_pertraj_enabled(cp):
         # per-trajectory generators (robust ensembles): (K, N_T) kernel
         # grid, each trajectory's operator planes VMEM-resident across
-        # all time steps (VERDICT round-3 item 1)
+        # all time steps (VERDICT round-3 item 1); per-trajectory
+        # coefficient tables (heterogeneous amplitude shapes) ride SMEM
         from .ops.pallas_frechet import frechet_trace_pallas_pertraj
 
         def _ftk(h0, opsk, co, dts, psis_, chis_):
@@ -1724,9 +1731,12 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, tables, storage,
             )
 
         ax = cp.mesh_axis
+        co_spec = P(ax) if cp.per_traj_coeffs else P()
         trj = _shmap(
             cp, _ftk,
-            in_specs=(P(ax), P(ax), P(), P(), P(None, ax), P(None, ax)),
+            in_specs=(
+                P(ax), P(ax), co_spec, P(), P(None, ax), P(None, ax)
+            ),
             out_specs=P(None, ax),
         )(
             H0_, ops_,
@@ -1735,9 +1745,14 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, tables, storage,
             storage[:-1], chis,
         )  # (N_T, K, T)
         a_all = (-1j * dt).astype(cdtype)
-        grads = a_all[:, None, None] * jnp.einsum(
-            "ntl,nkt->nkl", dMc, trj
-        )
+        if cp.per_traj_coeffs:
+            grads = a_all[:, None, None] * jnp.einsum(
+                "kntl,nkt->nkl", dMc, trj
+            )
+        else:
+            grads = a_all[:, None, None] * jnp.einsum(
+                "ntl,nkt->nkl", dMc, trj
+            )
         return rho[None, :, None].astype(cdtype) * grads
 
     C = _gradgen_chunk(cp)

@@ -79,7 +79,7 @@ def _frechet_kernel_shared(
     psir_ref, psii_ref, chir_ref, chii_ref,  # (1, K, d) per-step blocks
     tjr_ref, tji_ref,                      # out (1, K, LANES) planes
     *, degree, n_squarings, n_terms, n_dirs, precision, n_grp=1,
-    grid2d=False,
+    grid2d=False, coeffs_per_k=False,
 ):
     _dot = _make_dot(precision)
 
@@ -98,15 +98,22 @@ def _frechet_kernel_shared(
     # axis, so they are fetched once per trajectory).
     if grid2d:
         n = pl.program_id(1)
+        # per-trajectory coefficient tables (heterogeneous amplitude
+        # shapes): the scalar-prefetch table is (K·N_T, T), k-major
+        crow = (
+            pl.program_id(0) * pl.num_programs(1) + n
+            if coeffs_per_k else n
+        )
     else:
         n = pl.program_id(0) // n_grp if n_grp > 1 else pl.program_id(0)
+        crow = n
     scale = np.float32(2.0 ** (-n_squarings))
 
     # ---- A = -i·dt·H, pre-scaled by 2^-s --------------------------------
     hr = h0r_ref[0]
     hi = h0i_ref[0]
     for t in range(n_terms):
-        c = coeffs_ref[n, t]
+        c = coeffs_ref[crow, t]
         hr = hr + c * opsr_ref[t]
         hi = hi + c * opsi_ref[t]
     dt = dts_ref[n, 0]
@@ -361,7 +368,10 @@ def frechet_trace_pallas_pertraj(
     Args:
       H0:   (K, d, d) complex64 per-trajectory drifts
       ops:  (K, T, d, d) complex64 per-trajectory control-term operators
-      coeffs: (N_T, T) float32 shared per-step term coefficients
+      coeffs: (N_T, T) float32 shared per-step term coefficients, or
+        (K, N_T, T) per-trajectory tables (heterogeneous amplitude
+        shapes; the whole table lives in SMEM — callers gate on
+        K·N_T·T·4 bytes fitting the 1 MB budget)
       dts:  (N_T,) float32
       psis: (N_T, K, d) complex64 forward states ψ(t_n)
       chis: (N_T, K, d) complex64 normalized co-states χ(t_{n+1})
@@ -395,12 +405,17 @@ def frechet_trace_pallas_pertraj(
     chir = jnp.real(chis_f).astype(f32)
     chii = jnp.imag(chis_f).astype(f32)
     coeffs = jnp.asarray(coeffs, dtype=f32)
+    coeffs_per_k = coeffs.ndim == 3  # (K, N_T, T): per-trajectory tables
+    if coeffs_per_k:
+        assert coeffs.shape[0] == K
+        coeffs = coeffs.reshape(K * N_T, T)
     dts2 = jnp.asarray(dts, dtype=f32).reshape(N_T, 1)
 
     kernel = functools.partial(
         _frechet_kernel_shared, degree=degree,
         n_squarings=int(n_squarings), n_terms=T, n_dirs=1,
         precision=precision, n_grp=1, grid2d=True,
+        coeffs_per_k=coeffs_per_k,
     )
     # block index maps: (k, n, *scalar_refs) -> block coords; the k-only
     # operator blocks are constant along the inner n axis (fetched once

@@ -383,3 +383,94 @@ def test_frechet_trace_pallas_k_blocked_interpret():
             *args, n_squarings=s, interpret=True, k_block=K,
         ))
         assert np.max(np.abs(blocked - one_block)) < 1e-6
+
+
+def test_frechet_trace_pallas_pertraj_coeffs_interpret():
+    """Per-trajectory COEFFICIENT tables ((K, N_T, T), heterogeneous
+    amplitude shapes) through the pertraj kernel: each (n, k) step must
+    use its own k-specific coefficients (verified against per-k
+    expm_frechet)."""
+    from grape_tpu.ops.frechet import expm_frechet
+    from grape_tpu.ops.pallas_frechet import frechet_trace_pallas_pertraj
+
+    rng = np.random.default_rng(29)
+    d, K, T, N_T, s = 8, 3, 2, 4, 1
+    H0 = rng.normal(size=(K, d, d))
+    H0 = (H0 + np.swapaxes(H0, -1, -2)) + 0j
+    ops = rng.normal(size=(K, T, d, d))
+    ops = (ops + np.swapaxes(ops, -1, -2)) + 0j
+    coeffs = (0.3 * rng.normal(size=(K, N_T, T))).astype(np.float32)
+    dts = np.full(N_T, 0.1, dtype=np.float32)
+    psis = (rng.normal(size=(N_T, K, d))
+            + 1j * rng.normal(size=(N_T, K, d))).astype(np.complex64)
+    chis = (rng.normal(size=(N_T, K, d))
+            + 1j * rng.normal(size=(N_T, K, d))).astype(np.complex64)
+
+    trj = np.asarray(frechet_trace_pallas_pertraj(
+        jnp.asarray(H0, dtype=jnp.complex64),
+        jnp.asarray(ops, dtype=jnp.complex64),
+        coeffs, dts, jnp.asarray(psis), jnp.asarray(chis),
+        n_squarings=s, interpret=True, precision="highest",
+    ))
+    for n in range(N_T):
+        for k in range(K):
+            H = (H0[k] + np.einsum(
+                "t,tij->ij", coeffs[k, n], ops[k]
+            )).astype(np.complex64)
+            A = -1j * dts[n] * H
+            R = np.outer(psis[n, k], np.conj(chis[n, k]))
+            _, G = expm_frechet(
+                jnp.asarray(A)[None], jnp.asarray(R)[None, None],
+                squarings=s,
+            )
+            ref = np.einsum("tab,ba->t", ops[k], np.asarray(G[0, 0]))
+            scale = max(np.max(np.abs(ref)), 1.0)
+            assert np.max(np.abs(trj[n, k] - ref)) < 2e-5 * scale, (n, k)
+
+
+def test_fg_pertraj_coeffs_kernel_matches_xla():
+    """Through build_fg: a heterogeneous-SHAPES ensemble (per-trajectory
+    coefficient tables) on the kernel path (use_pallas=True, interpret)
+    matches the XLA path."""
+    from grape_tpu import ShapedAmplitude, Trajectory, hamiltonian
+    from grape_tpu.fg import (
+        build_fg, compile_problem, _pallas_gradgen_pertraj_enabled,
+    )
+    from grape_tpu.functionals import J_T_sm
+
+    rng = np.random.default_rng(31)
+    d, K = 16, 3
+
+    def eps(t):
+        return 0.2 * np.cos(0.5 * t)
+
+    A = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    Hc = 0.2 * (A + A.conj().T)
+    B = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    H0 = 0.15 * (B + B.conj().T)
+    trajs = []
+    for k in range(K):
+        p0 = rng.normal(size=d) + 1j * rng.normal(size=d)
+        tg = rng.normal(size=d) + 1j * rng.normal(size=d)
+        trajs.append(Trajectory(
+            p0 / np.linalg.norm(p0),
+            hamiltonian(
+                H0,
+                (Hc, ShapedAmplitude(eps, lambda t, k=k: 1.0 + 0.1 * k)),
+            ),
+            target_state=tg / np.linalg.norm(tg),
+        ))
+    tlist = np.linspace(0, 2.0, 13)
+    kwargs = dict(J_T=J_T_sm, gradient_method="gradgen",
+                  dtype=np.complex64)
+    cp_k = compile_problem(trajs, tlist, use_pallas=True, **kwargs)
+    assert cp_k.per_traj_coeffs
+    assert _pallas_gradgen_pertraj_enabled(cp_k)
+    cp_x = compile_problem(trajs, tlist, use_pallas=False, **kwargs)
+    x = cp_k.guess_pulsevals.reshape(-1)
+    J1, g1, _ = build_fg(cp_k)(x)
+    J2, g2, _ = build_fg(cp_x)(x)
+    g1, g2 = np.asarray(g1), np.asarray(g2)
+    gs = max(np.max(np.abs(g2)), 1e-12)
+    assert abs(float(J1) - float(J2)) < 1e-5 * max(1.0, abs(float(J2)))
+    assert np.max(np.abs(g1 - g2)) < 2e-3 * gs
