@@ -248,6 +248,9 @@ def _sweep_configs():
         ("ensemble1024_qutrit_taylor", lambda: ensemble(1024, 400),
          400, 1024),  # BASELINE config 5 (small-dim lane kernel)
         ("cz_device_loop_iters", None, 800, 4),  # device-resident loop
+        # north-star end-to-end: robust ensemble x pertraj kernel x
+        # device-resident native L-BFGS (BASELINE config-5 pattern)
+        ("ens_cz_device_loop_iters", None, 800, 32),
         ("dim16_cz_taylor", lambda: cz(4, 400, "taylor", "expprop"),
          400, 4),
         ("dim256_cz_cheby_taylor",
@@ -333,9 +336,21 @@ def _device_loop_iters_entry(name):
     rate = iterations after the first chunk boundary / wall time after
     it.  ``fg_evals_per_s`` counts line-search probes."""
     from grape_tpu import optimize_problem
-    from grape_tpu.models import two_transmon_cz_problem
+    from grape_tpu.models import (
+        two_transmon_cz_ensemble_problem, two_transmon_cz_problem,
+    )
 
-    problem = two_transmon_cz_problem(d=10, n_steps=800, T=50.0)
+    if name == "ens_cz_device_loop_iters":
+        # BASELINE config-5 north star end-to-end: robust-CZ ensemble
+        # (K=32 DISTINCT Hamiltonians) solved by the device-resident
+        # native L-BFGS with the per-trajectory Frechet kernel inside
+        problem = two_transmon_cz_ensemble_problem(
+            n_samples=8, d=10, n_steps=800, T=50.0
+        )
+        dim, K = 100, 32
+    else:
+        problem = two_transmon_cz_problem(d=10, n_steps=800, T=50.0)
+        dim, K = 100, 4
     chunk = 16
     stamps = []
 
@@ -362,7 +377,8 @@ def _device_loop_iters_entry(name):
     entry = {
         "config": name,
         **_env_info(),
-        "dim": 100,
+        "dim": dim,
+        "n_traj": K,
         "n_steps": 800,
         "iters": int(res.iter),
         "fg_calls": int(res.fg_calls),
@@ -426,7 +442,7 @@ def _run_one_sweep_config(name):
     if name == "cz_optimize_iters":
         print("SWEEP_ENTRY " + json.dumps(_optimize_iters_entry(name)))
         return
-    if name == "cz_device_loop_iters":
+    if name in ("cz_device_loop_iters", "ens_cz_device_loop_iters"):
         print("SWEEP_ENTRY " + json.dumps(_device_loop_iters_entry(name)))
         return
     if name == "sharded_1dev_overhead":

@@ -32,7 +32,7 @@ __all__ = [
     "J_a_fluence", "grad_J_a_fluence", "J_b",
     "make_chi", "make_xi", "make_grad_J_a", "make_analytic_chi",
     "set_default_ad_framework",
-    "gate_functional", "make_gate_chi",
+    "gate_functional", "make_gate_chi", "make_ensemble_gate_functional",
     "taus", "weights_of",
 ]
 
@@ -261,6 +261,50 @@ def make_grad_J_a(J_a, tlist):
 # --------------------------------------------------------------------------
 # Gate functionals (background.md:552-610)
 # --------------------------------------------------------------------------
+
+def make_ensemble_gate_functional(n_basis):
+    """Robust-gate ensemble functional: coherent within each sample's
+    ``n_basis`` gate trajectories, INCOHERENT across samples:
+
+        ``J_T = 1 − Σ_s w_s |(1/n_basis) Σ_{k∈s} τ_k|²``
+
+    A plain :func:`J_T_sm` over all ``S·n_basis`` trajectories sums τ
+    coherently ACROSS samples; with per-sample drift perturbations the
+    sample overlaps carry different dynamical phases and the coherent
+    sum destructively interferes — measured: the robust-CZ ensemble
+    stalls at J_T ≈ 0.97 under global ``J_T_sm`` while descending
+    normally under this functional (ensemble members are independent
+    systems; only the relative phases WITHIN one gate are physical).
+    Reference counterpart: the gate functionals of
+    ``/root/reference/docs/src/background.md:552-610`` applied
+    per-ensemble-member.
+
+    Trajectory order must be sample-major (all ``n_basis`` basis states
+    of sample 0 first, ...).  Per-sample weights may be given through
+    the trajectories' ``weight`` attribute (constant within a sample;
+    normalized internally).  Returns ``J_T(Psi, trajectories,
+    tau=None)`` (the batched tau protocol); the co-state comes from
+    ``make_chi`` semi-AD."""
+
+    def J_T_sm_ensemble(Psi, trajectories, tau=None):
+        if tau is None:
+            tau = taus(Psi, trajectories)
+        K = len(trajectories)
+        if K % n_basis != 0:
+            raise ValueError(
+                f"trajectory count ({K}) is not a multiple of "
+                f"n_basis ({n_basis})"
+            )
+        S = K // n_basis
+        w = weights_of(trajectories).astype(tau.real.dtype)
+        w_s = w.reshape(S, n_basis)[:, 0]
+        w_s = w_s / jnp.sum(w_s)
+        tb = tau.reshape(S, n_basis)
+        f = jnp.abs(jnp.mean(tb, axis=1)) ** 2
+        return 1.0 - jnp.sum(w_s * f)
+
+    return J_T_sm_ensemble
+
 
 def gate_functional(J_T_U, **kwargs):
     """Lift a functional of the logical gate ``U_L`` (matrix ``(K, K)`` with

@@ -6,7 +6,7 @@ sampling (config 5)."""
 import numpy as np
 import jax.numpy as jnp
 
-from ..functionals import J_T_sm
+from ..functionals import J_T_sm, make_ensemble_gate_functional
 from ..generators import hamiltonian
 from ..shapes import flattop
 from ..trajectory import ControlProblem, Trajectory
@@ -221,11 +221,12 @@ def two_transmon_cz_ensemble_problem(
         # the SAME guess callables across samples: one shared control set
         H = hamiltonian(H0, *zip(drives, guesses))
         for b, ph in zip(basis, cz_phases):
-            trajectories.append(
-                Trajectory(b, H, target_state=ph * b,
-                           weight=1.0 / n_samples)
-            )
-    kwargs.setdefault("J_T", J_T_sm)
+            trajectories.append(Trajectory(b, H, target_state=ph * b))
+    # per-sample-coherent, cross-sample-incoherent gate functional: a
+    # global J_T_sm would sum tau coherently across samples, where the
+    # sample-dependent drift phases destructively interfere (measured:
+    # stall at J_T ~ 0.97; see functionals.make_ensemble_gate_functional)
+    kwargs.setdefault("J_T", make_ensemble_gate_functional(4))
     return ControlProblem(trajectories, tlist, **kwargs)
 
 

@@ -159,3 +159,56 @@ def test_J_b_helper_matches_optimizer_value():
     J_b_val = float(J_b(jnp.asarray(storage)[:, None, :], [traj],
                         tlist, g_b))
     assert abs(J_b_val - res.J_b) < 1e-8
+
+
+def test_ensemble_gate_functional_phase_invariance():
+    """make_ensemble_gate_functional: per-sample coherent, cross-sample
+    incoherent — per-sample PERFECT gates with different global phases
+    give J_T = 0, where the global J_T_sm destructively interferes
+    (the robust-ensemble stall this functional fixes; reference gate
+    functionals per member, docs/src/background.md:552-610)."""
+    import jax.numpy as jnp
+
+    from grape_tpu.functionals import (
+        J_T_sm, make_ensemble_gate_functional,
+    )
+
+    class _T:
+        def __init__(self, tgt, weight=1.0):
+            self.target_state = tgt
+            self.weight = weight
+
+    d, nb, S = 4, 4, 3
+    rng = np.random.default_rng(0)
+    trajs = []
+    Psi = []
+    phases = [1.0, np.exp(1j * 1.1), np.exp(-1j * 2.3)]
+    for s in range(S):
+        for k in range(nb):
+            tgt = np.zeros(d, complex)
+            tgt[k] = 1.0
+            trajs.append(_T(tgt))
+            Psi.append(phases[s] * tgt)  # perfect gate up to sample phase
+    Psi = jnp.asarray(np.stack(Psi))
+    J_ens = float(make_ensemble_gate_functional(nb)(Psi, trajs))
+    assert abs(J_ens) < 1e-12
+    J_glob = float(J_T_sm(Psi, trajs))
+    assert J_glob > 0.3  # cross-sample interference
+
+    # within-sample phase errors ARE penalized (a CZ phase flip)
+    Psi_bad = np.asarray(Psi).copy()
+    Psi_bad[3] *= -1.0  # wrong relative phase inside sample 0
+    J_bad = float(
+        make_ensemble_gate_functional(nb)(jnp.asarray(Psi_bad), trajs)
+    )
+    assert J_bad > 0.05
+
+    # per-sample weights normalize
+    trajs_w = [
+        _T(t.target_state, weight=2.0 if i < nb else 1.0)
+        for i, t in enumerate(trajs)
+    ]
+    J_w = float(
+        make_ensemble_gate_functional(nb)(jnp.asarray(Psi_bad), trajs_w)
+    )
+    assert J_w > J_bad  # the bad sample carries more weight
