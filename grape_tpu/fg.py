@@ -138,6 +138,11 @@ class CompiledProblem:
     # 3-pass bf16: per-step-independent math, no cross-step compounding;
     # see ops/pallas_frechet._PRECISIONS)
     gradgen_pallas_precision: str = "high"
+    # contiguous-run generator grouping (gate ensembles: each sample's
+    # n_basis trajectories share ONE generator object): the fused
+    # per-trajectory Fréchet kernel then derives the expm base once per
+    # (step, group) instead of per (step, trajectory).  1 = no grouping.
+    gen_group_size: int = 1
     # set by parallel.mesh when this build runs INSIDE a shard_map region
     # over the trajectory axis: the per-shard arrays are local unsharded
     # blocks, so the Pallas kernels may be invoked directly (the Mosaic
@@ -375,6 +380,10 @@ def compile_problem(
         ),
         fw_prop_observables=tuple(fw_prop_observables or ()),
         shared_generator=shared_generator,
+        gen_group_size=_detect_gen_group_size(
+            trajectories, np.asarray(H0), np.asarray(ops),
+            per_traj_coeffs, shared_generator,
+        ),
         norm_cache=_make_norm_cache(
             H0, ops,
             with_spectral="cheby" in (
@@ -404,6 +413,44 @@ def compile_problem(
         if not _vec_gradgen_enabled(cp):
             cp.gradient_method = "taylor"
     return cp
+
+
+def _gen_group_runs(gens):
+    """Contiguous identical-object run length if uniform, else 1."""
+    runs = []
+    cur = 1
+    for a, b in zip(gens, gens[1:]):
+        if b is a:
+            cur += 1
+        else:
+            runs.append(cur)
+            cur = 1
+    runs.append(cur)
+    g = runs[0]
+    if g > 1 and all(r == g for r in runs):
+        return g
+    return 1
+
+
+def _detect_gen_group_size(trajectories, H0, ops, per_traj_coeffs,
+                           shared_generator):
+    """Group size for the grouped pertraj kernel mode: contiguous runs
+    of trajectories sharing one generator (verified against the stacked
+    operator arrays)."""
+    if shared_generator or per_traj_coeffs:
+        return 1
+    K = len(trajectories)
+    g = _gen_group_runs([t.generator for t in trajectories])
+    if g <= 1 or K % g != 0:
+        return 1
+    H0v = H0.reshape(K // g, g, *H0.shape[1:])
+    opsv = ops.reshape(K // g, g, *ops.shape[1:])
+    if not (
+        bool(np.all(H0v == H0v[:, :1]))
+        and bool(np.all(opsv == opsv[:, :1]))
+    ):
+        return 1
+    return g
 
 
 _PROP_SETTING_KEYS = (
@@ -1639,6 +1686,18 @@ def _pallas_gradgen_pertraj_enabled(cp: CompiledProblem):
     return _pallas_platform_ok(cp)
 
 
+def _effective_group_size(cp: CompiledProblem):
+    """Group size the pertraj kernel may actually use: detected
+    contiguous generator groups, provided shard boundaries do not
+    straddle a group (per-shard trajectory count divisible)."""
+    gs = getattr(cp, "gen_group_size", 1) or 1
+    if gs <= 1 or cp.per_traj_coeffs:
+        return 1
+    if _local_traj(cp) % gs != 0:
+        return 1
+    return gs
+
+
 def _gradgen_chunk(cp: CompiledProblem, n_intermediates=8,
                    budget_bytes=1 * 1024**3):
     """Time-chunk length for the vectorized gradgen pass: a divisor of
@@ -1722,12 +1781,22 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, tables, storage,
         # coefficient tables (heterogeneous amplitude shapes) ride SMEM
         from .ops.pallas_frechet import frechet_trace_pallas_pertraj
 
+        gsz = _effective_group_size(cp)
+
         def _ftk(h0, opsk, co, dts, psis_, chis_):
+            if gsz > 1:
+                # one operator entry per GROUP (contiguous identical
+                # generators): the kernel derives the base once per
+                # (step, group) and shares it across the group's
+                # directions
+                h0 = h0[::gsz]
+                opsk = opsk[::gsz]
             return frechet_trace_pallas_pertraj(
                 h0, opsk, co, dts, psis_, chis_,
                 n_squarings=_pallas_squarings(cp, amp_max),
                 precision=cp.gradgen_pallas_precision,
                 interpret=_pallas_interpret(cp),
+                group_size=gsz,
             )
 
         ax = cp.mesh_axis

@@ -117,8 +117,23 @@ def fg_flops(cp, amp_max=None):
                 fre_mm = (7 + 13 * K) + s * (1 + 2 * K)
             total += N_T * fre_mm * MM
         else:
-            fre_mm = 20 + 3 * s  # one direction, per (n, k)
-            total += N_T * K * fre_mm * MM
+            gsz = (
+                cp.gen_group_size
+                if (
+                    _fg._pallas_gradgen_pertraj_enabled(cp)
+                    and _fg._effective_group_size(cp) > 1
+                )
+                else 1
+            )
+            if gsz > 1:
+                # grouped pertraj kernel: base (7 + s) once per (n,
+                # group), Fréchet chain (13 + 2s) per direction
+                total += N_T * (
+                    (K // gsz) * (7 + s) + K * (13 + 2 * s)
+                ) * MM
+            else:
+                fre_mm = 20 + 3 * s  # one direction, per (n, k)
+                total += N_T * K * fre_mm * MM
             total += N_T * k_u * T * MV  # H_n reassembly
         total += N_T * K * T * MV  # tr(Op_j G) contractions
         return total

@@ -349,7 +349,7 @@ def frechet_trace_pallas_shared(
 
 def frechet_trace_pallas_pertraj(
     H0, ops, coeffs, dts, psis, chis, n_squarings, degree=16,
-    interpret=False, precision="high",
+    interpret=False, precision="high", group_size=1,
 ):
     """``trj[n, k, t] = tr(Op_kt · L(-i dt_n H_kn, ψ_nk χ_nk†))`` with
     PER-TRAJECTORY generators (robust ensembles: K *distinct* H_k — the
@@ -381,54 +381,64 @@ def frechet_trace_pallas_pertraj(
     """
     N_T, K, d = psis.shape
     T = ops.shape[1]
-    assert ops.shape[0] == K and H0.shape[0] == K
     assert T >= 1
     f32 = jnp.float32
     LANES = 128  # padded trace-output lane dim (T ≤ LANES)
     assert T <= LANES
+    # grouped mode (gate ensembles: contiguous runs of `group_size`
+    # trajectories share ONE generator — e.g. the 4 logical basis states
+    # of each robust-CZ ensemble sample).  The expm base is derived once
+    # per (step, group) and shared by the group's directions (the base
+    # is ~10 of the ~27 complex matmuls per direction in ungrouped
+    # mode); H0/ops carry one entry per GROUP.
+    gs = int(group_size)
+    assert gs >= 1 and K % gs == 0
+    G = K // gs
+    assert H0.shape[0] == G and ops.shape[0] == G
 
-    h0r = jnp.real(jnp.asarray(H0)).astype(f32)       # (K, d, d)
+    h0r = jnp.real(jnp.asarray(H0)).astype(f32)       # (G, d, d)
     h0i = jnp.imag(jnp.asarray(H0)).astype(f32)
-    opsj = jnp.asarray(ops).reshape(K * T, d, d)      # k-major flat terms
+    opsj = jnp.asarray(ops).reshape(G * T, d, d)      # group-major terms
     opsr = jnp.real(opsj).astype(f32)
     opsi = jnp.imag(opsj).astype(f32)
     opstr = jnp.swapaxes(opsr, -1, -2)
     opsti = jnp.swapaxes(opsi, -1, -2)
-    # (N_T·K, 1, d) layout: Mosaic requires the last two BLOCK dims to
-    # divide (8, 128) or EQUAL the array dims — a (1, 1, d) block over
-    # (N_T, K, d) violates that (1 vs K on the sublane axis), over
-    # (N_T·K, 1, d) it matches exactly
-    psis_f = jnp.asarray(psis).reshape(N_T * K, 1, d)
-    chis_f = jnp.asarray(chis).reshape(N_T * K, 1, d)
+    # (N_T·G, gs, d) layout: Mosaic requires the last two BLOCK dims to
+    # divide (8, 128) or EQUAL the array dims — a (1, gs, d) block over
+    # (N_T, K, d) violates that (gs vs K on the sublane axis), over
+    # (N_T·G, gs, d) it matches exactly (ungrouped: gs = 1)
+    psis_f = jnp.asarray(psis).reshape(N_T * G, gs, d)
+    chis_f = jnp.asarray(chis).reshape(N_T * G, gs, d)
     psir = jnp.real(psis_f).astype(f32)
     psii = jnp.imag(psis_f).astype(f32)
     chir = jnp.real(chis_f).astype(f32)
     chii = jnp.imag(chis_f).astype(f32)
     coeffs = jnp.asarray(coeffs, dtype=f32)
-    coeffs_per_k = coeffs.ndim == 3  # (K, N_T, T): per-trajectory tables
+    coeffs_per_k = coeffs.ndim == 3  # (G, N_T, T): per-group tables
     if coeffs_per_k:
-        assert coeffs.shape[0] == K
-        coeffs = coeffs.reshape(K * N_T, T)
+        assert coeffs.shape[0] == G
+        coeffs = coeffs.reshape(G * N_T, T)
     dts2 = jnp.asarray(dts, dtype=f32).reshape(N_T, 1)
 
     kernel = functools.partial(
         _frechet_kernel_shared, degree=degree,
-        n_squarings=int(n_squarings), n_terms=T, n_dirs=1,
+        n_squarings=int(n_squarings), n_terms=T, n_dirs=gs,
         precision=precision, n_grp=1, grid2d=True,
         coeffs_per_k=coeffs_per_k,
     )
-    # block index maps: (k, n, *scalar_refs) -> block coords; the k-only
-    # operator blocks are constant along the inner n axis (fetched once
-    # per trajectory), the per-step psi/chi/out blocks advance with n
-    mat_k = pl.BlockSpec((1, d, d), lambda k, n, *_: (k, 0, 0))
-    ops_k = pl.BlockSpec((T, d, d), lambda k, n, *_: (k, 0, 0))
-    step = pl.BlockSpec((1, 1, d), lambda k, n, *_: (n * K + k, 0, 0))
+    # block index maps: (g, n, *scalar_refs) -> block coords; the
+    # group-only operator blocks are constant along the inner n axis
+    # (fetched once per group), the per-step psi/chi/out blocks advance
+    # with n
+    mat_k = pl.BlockSpec((1, d, d), lambda g, n, *_: (g, 0, 0))
+    ops_k = pl.BlockSpec((T, d, d), lambda g, n, *_: (g, 0, 0))
+    step = pl.BlockSpec((1, gs, d), lambda g, n, *_: (n * G + g, 0, 0))
     outspec = pl.BlockSpec(
-        (1, 1, LANES), lambda k, n, *_: (n * K + k, 0, 0)
+        (1, gs, LANES), lambda g, n, *_: (n * G + g, 0, 0)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(K, N_T),
+        grid=(G, N_T),
         in_specs=[mat_k, mat_k, ops_k, ops_k, ops_k, ops_k,
                   step, step, step, step],
         out_specs=[outspec, outspec],
@@ -436,8 +446,8 @@ def frechet_trace_pallas_pertraj(
     tjr, tji = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((N_T * K, 1, LANES), f32),
-            jax.ShapeDtypeStruct((N_T * K, 1, LANES), f32),
+            jax.ShapeDtypeStruct((N_T * G, gs, LANES), f32),
+            jax.ShapeDtypeStruct((N_T * G, gs, LANES), f32),
         ],
         grid_spec=grid_spec,
         interpret=interpret,

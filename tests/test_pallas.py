@@ -474,3 +474,78 @@ def test_fg_pertraj_coeffs_kernel_matches_xla():
     gs = max(np.max(np.abs(g2)), 1e-12)
     assert abs(float(J1) - float(J2)) < 1e-5 * max(1.0, abs(float(J2)))
     assert np.max(np.abs(g1 - g2)) < 2e-3 * gs
+
+
+def test_frechet_trace_pallas_grouped_interpret():
+    """Grouped mode (contiguous runs of group_size trajectories sharing
+    one generator — gate ensembles): the grouped kernel equals the
+    ungrouped per-trajectory kernel on tiled operator inputs."""
+    from grape_tpu.ops.pallas_frechet import frechet_trace_pallas_pertraj
+
+    rng = np.random.default_rng(37)
+    d, G, gs, T, N_T, s = 8, 2, 4, 2, 3, 1
+    K = G * gs
+    H0g = rng.normal(size=(G, d, d))
+    H0g = (H0g + np.swapaxes(H0g, -1, -2)) + 0j
+    opsg = rng.normal(size=(G, T, d, d))
+    opsg = (opsg + np.swapaxes(opsg, -1, -2)) + 0j
+    coeffs = (0.3 * rng.normal(size=(N_T, T))).astype(np.float32)
+    dts = np.full(N_T, 0.1, dtype=np.float32)
+    psis = (rng.normal(size=(N_T, K, d))
+            + 1j * rng.normal(size=(N_T, K, d))).astype(np.complex64)
+    chis = (rng.normal(size=(N_T, K, d))
+            + 1j * rng.normal(size=(N_T, K, d))).astype(np.complex64)
+
+    grouped = np.asarray(frechet_trace_pallas_pertraj(
+        jnp.asarray(H0g, dtype=jnp.complex64),
+        jnp.asarray(opsg, dtype=jnp.complex64),
+        coeffs, dts, jnp.asarray(psis), jnp.asarray(chis),
+        n_squarings=s, interpret=True, precision="highest",
+        group_size=gs,
+    ))
+    # ungrouped reference: tile the operators per trajectory
+    H0k = np.repeat(H0g, gs, axis=0)
+    opsk = np.repeat(opsg, gs, axis=0)
+    ungrouped = np.asarray(frechet_trace_pallas_pertraj(
+        jnp.asarray(H0k, dtype=jnp.complex64),
+        jnp.asarray(opsk, dtype=jnp.complex64),
+        coeffs, dts, jnp.asarray(psis), jnp.asarray(chis),
+        n_squarings=s, interpret=True, precision="highest",
+    ))
+    assert grouped.shape == ungrouped.shape == (N_T, K, T)
+    scale = max(np.max(np.abs(ungrouped)), 1.0)
+    assert np.max(np.abs(grouped - ungrouped)) < 1e-5 * scale
+
+
+def test_fg_grouped_ensemble_kernel_matches_xla():
+    """Through build_fg on the robust-CZ ensemble model (each sample's 4
+    basis trajectories share one generator): group size 4 is detected
+    and the grouped kernel path matches the XLA path."""
+    from grape_tpu.fg import (
+        build_fg, compile_problem, _effective_group_size,
+        _pallas_gradgen_pertraj_enabled,
+    )
+    from grape_tpu.models import two_transmon_cz_ensemble_problem
+
+    problem = two_transmon_cz_ensemble_problem(
+        n_samples=2, d=4, T=4.0, n_steps=12,
+    )  # dim=16, K=8, groups of 4
+    kwargs = dict(problem.kwargs)
+    cp_k = compile_problem(
+        problem.trajectories, problem.tlist, dtype=np.complex64,
+        gradient_method="gradgen", use_pallas=True, **kwargs
+    )
+    assert cp_k.gen_group_size == 4
+    assert _effective_group_size(cp_k) == 4
+    assert _pallas_gradgen_pertraj_enabled(cp_k)
+    cp_x = compile_problem(
+        problem.trajectories, problem.tlist, dtype=np.complex64,
+        gradient_method="gradgen", use_pallas=False, **kwargs
+    )
+    x = cp_k.guess_pulsevals.reshape(-1)
+    J1, g1, _ = build_fg(cp_k)(x)
+    J2, g2, _ = build_fg(cp_x)(x)
+    g1, g2 = np.asarray(g1), np.asarray(g2)
+    gs_ = max(np.max(np.abs(g2)), 1e-12)
+    assert abs(float(J1) - float(J2)) < 1e-5 * max(1.0, abs(float(J2)))
+    assert np.max(np.abs(g1 - g2)) < 2e-3 * gs_
