@@ -1510,6 +1510,9 @@ def _chi_trajectory(cp: CompiledProblem, storage, Us, chi_hat, safe_rho):
         w = _grid_weights(tlist_j)
 
     shared_U = Us.ndim == 3  # (N_T, d, d): one U_n for all trajectories
+    # grouped stored propagators (N_T, G, d, d): one U_n per generator
+    # group of _effective_group_size trajectories
+    grp_U = Us.ndim == 4 and Us.shape[1] != cp.n_traj
     if shared_U and _pallas_chi_enabled(cp):
         # fused χ-chain kernel: carries χ in VMEM with one Karatsuba
         # (K, d)·(d, d) product per grid step (measured: modest ~1.3 ms
@@ -1531,6 +1534,12 @@ def _chi_trajectory(cp: CompiledProblem, storage, Us, chi_hat, safe_rho):
         chi_in = chi  # χ(t_{n+1}) — what step n's recursion consumes
         if shared_U:
             chi_new = jnp.einsum("ji,kj->ki", jnp.conj(Us[n]), chi)
+        elif grp_U:
+            G = Us.shape[1]
+            cg = chi.reshape(G, cp.n_traj // G, -1)
+            chi_new = jnp.einsum(
+                "gji,gkj->gki", jnp.conj(Us[n]), cg
+            ).reshape(cp.n_traj, -1)
         else:
             chi_new = jnp.einsum("kji,kj->ki", jnp.conj(Us[n]), chi)
         if cp.xi is not None:
@@ -1592,8 +1601,12 @@ def _chi_prop_scan(cp: CompiledProblem, pds, tables, storage, chi_hat,
 
 def _gg_u_bytes_ok(cp: CompiledProblem):
     """U-storage bound for the stored-propagator phase A of the
-    vectorized gradgen pass (``N_T · K · d²`` complex entries)."""
-    k_u = 1 if cp.shared_generator else cp.n_traj
+    vectorized gradgen pass (``N_T · K · d²`` complex entries; one per
+    GROUP when generator grouping applies)."""
+    if cp.shared_generator:
+        k_u = 1
+    else:
+        k_u = cp.n_traj // _effective_group_size(cp)
     nbytes = (
         cp.n_timesteps * k_u * cp.dim * cp.dim
         * np.dtype(cp.psi0.dtype).itemsize
@@ -2114,7 +2127,22 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False,
                     out_specs=out_sp,
                 )(tables[2][0], tables[3][0], coeffs, dts, cp.psi0)
             else:
+                gsz = _effective_group_size(cp)
+
                 def _fwd(h0, opsk, co, dts_, psi0_):
+                    if gsz > 1:
+                        # grouped generators: one expm per (step, group)
+                        from .ops.pallas_prop import (
+                            forward_scan_pallas_grouped,
+                        )
+
+                        return forward_scan_pallas_grouped(
+                            h0[::gsz], opsk[::gsz], co, dts_, psi0_,
+                            group_size=gsz,
+                            n_squarings=_pallas_squarings(cp, amp_max),
+                            with_propagators=want_U,
+                            interpret=_pallas_interpret(cp),
+                        )
                     return forward_scan_pallas(
                         h0, opsk, co, dts_, psi0_,
                         n_squarings=_pallas_squarings(cp, amp_max),

@@ -446,6 +446,139 @@ def forward_scan_pallas_shared(
     return storage
 
 
+def _fwd_kernel_grouped(
+    coeffs_ref, dts_ref,
+    h0r_ref, h0i_ref, opsr_ref, opsi_ref, psi0r_ref, psi0i_ref,
+    outr_ref, outi_ref,
+    *rest,  # [ur_ref, ui_ref (1, 1, d, d) streamed] + psi scratch (gs, d)
+    degree, n_squarings, n_terms, with_U=False,
+):
+    """Grid (G, N_T), time innermost: GROUPED generators (gate
+    ensembles — contiguous runs of ``gs`` trajectories share one
+    generator).  ONE expm per (step, group) in VMEM, applied to the
+    group's (gs, d) state block; the group's operator planes stay
+    VMEM-resident across all N_T steps (index maps constant along the
+    inner axis)."""
+    if with_U:
+        ur_ref, ui_ref, psir_ref, psii_ref = rest
+    else:
+        psir_ref, psii_ref = rest
+    n = pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _():
+        psir_ref[...] = psi0r_ref[0]
+        psii_ref[...] = psi0i_ref[0]
+
+    hr = h0r_ref[0]
+    hi = h0i_ref[0]
+    for j in range(n_terms):
+        c = coeffs_ref[n, j]
+        hr = hr + c * opsr_ref[j]
+        hi = hi + c * opsi_ref[j]
+    dt = dts_ref[n, 0]
+    ar = dt * hi
+    ai = -dt * hr
+    er, ei = _expm_taylor_kernel_body(ar, ai, degree, n_squarings)
+    vr, vi = _cmatvec(er, ei, psir_ref[...], psii_ref[...])  # (gs, d)
+    psir_ref[...] = vr
+    psii_ref[...] = vi
+    outr_ref[0, 0] = vr
+    outi_ref[0, 0] = vi
+    if with_U:
+        ur_ref[0, 0] = er
+        ui_ref[0, 0] = ei
+
+
+def forward_scan_pallas_grouped(
+    H0, ops, coeffs, dts, psi0, group_size, n_squarings, degree=16,
+    interpret=False, with_propagators=False,
+):
+    """Fused forward propagation for GROUPED generators (gate ensembles:
+    each contiguous run of ``group_size`` trajectories shares one
+    generator — e.g. the 4 logical basis states of each robust-CZ
+    Hamiltonian sample).
+
+    ``H0 (G, d, d)``, ``ops (G, T, d, d)`` complex64 — ONE entry per
+    group; ``psi0 (K, d)`` with ``K = G·group_size`` group-contiguous.
+    One expm per (step, group) instead of per (step, trajectory) (the
+    ungrouped per-trajectory kernel does ``group_size`` times the expm
+    work).  Returns ``storage (N_T+1, K, d)`` (+ ``U (N_T, G, d, d)``
+    with ``with_propagators`` — one propagator per group)."""
+    K, d = psi0.shape
+    gs = int(group_size)
+    G = K // gs
+    assert G * gs == K
+    assert H0.shape[0] == G and ops.shape[0] == G
+    T = ops.shape[1]
+    N_T = coeffs.shape[0]
+    f32 = jnp.float32
+    h0r = jnp.real(jnp.asarray(H0)).astype(f32)
+    h0i = jnp.imag(jnp.asarray(H0)).astype(f32)
+    opsj = jnp.asarray(ops).reshape(G * T, d, d)
+    opsr = jnp.real(opsj).astype(f32)
+    opsi = jnp.imag(opsj).astype(f32)
+    psi0g = jnp.asarray(psi0).reshape(G, gs, d)
+    psi0r = jnp.real(psi0g).astype(f32)
+    psi0i = jnp.imag(psi0g).astype(f32)
+    coeffs = jnp.asarray(coeffs, dtype=f32)
+    dts2 = jnp.asarray(dts, dtype=f32).reshape(N_T, 1)
+
+    kernel = functools.partial(
+        _fwd_kernel_grouped, degree=degree, n_squarings=int(n_squarings),
+        n_terms=T, with_U=with_propagators,
+    )
+    out_specs = [
+        pl.BlockSpec((1, 1, gs, d), lambda g, n, *_: (n, g, 0, 0)),
+        pl.BlockSpec((1, 1, gs, d), lambda g, n, *_: (n, g, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((N_T, G, gs, d), f32),
+        jax.ShapeDtypeStruct((N_T, G, gs, d), f32),
+    ]
+    if with_propagators:
+        out_specs += [
+            pl.BlockSpec((1, 1, d, d), lambda g, n, *_: (n, g, 0, 0)),
+            pl.BlockSpec((1, 1, d, d), lambda g, n, *_: (n, g, 0, 0)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((N_T, G, d, d), f32),
+            jax.ShapeDtypeStruct((N_T, G, d, d), f32),
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G, N_T),
+        in_specs=[
+            pl.BlockSpec((1, d, d), lambda g, n, *_: (g, 0, 0)),
+            pl.BlockSpec((1, d, d), lambda g, n, *_: (g, 0, 0)),
+            pl.BlockSpec((T, d, d), lambda g, n, *_: (g, 0, 0)),
+            pl.BlockSpec((T, d, d), lambda g, n, *_: (g, 0, 0)),
+            pl.BlockSpec((1, gs, d), lambda g, n, *_: (g, 0, 0)),
+            pl.BlockSpec((1, gs, d), lambda g, n, *_: (g, 0, 0)),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((gs, d), f32),
+            pltpu.VMEM((gs, d), f32),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(coeffs, dts2, h0r, h0i, opsr, opsi, psi0r, psi0i)
+    ys = (outs[0] + 1j * outs[1]).astype(jnp.complex64)
+    ys = ys.reshape(N_T, K, d)
+    storage = jnp.concatenate(
+        [jnp.asarray(psi0)[None].astype(jnp.complex64), ys], axis=0
+    )
+    if with_propagators:
+        U = (outs[2] + 1j * outs[3]).astype(jnp.complex64)  # (N_T,G,d,d)
+        return storage, U
+    return storage
+
+
 def _chi_scan_kernel_shared(
     ur_ref, ui_ref, chi0r_ref, chi0i_ref,
     outr_ref, outi_ref,

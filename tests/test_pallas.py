@@ -549,3 +549,41 @@ def test_fg_grouped_ensemble_kernel_matches_xla():
     gs_ = max(np.max(np.abs(g2)), 1e-12)
     assert abs(float(J1) - float(J2)) < 1e-5 * max(1.0, abs(float(J2)))
     assert np.max(np.abs(g1 - g2)) < 2e-3 * gs_
+
+
+def test_forward_scan_pallas_grouped_interpret():
+    """Grouped forward kernel (one expm per (step, group)) matches the
+    per-trajectory forward kernel on tiled operator inputs, including
+    the per-group U stream."""
+    from grape_tpu.ops.pallas_prop import (
+        forward_scan_pallas, forward_scan_pallas_grouped,
+    )
+
+    rng = np.random.default_rng(41)
+    d, G, gs, T, N_T = 8, 2, 3, 2, 5
+    K = G * gs
+    H0g = rng.normal(size=(G, d, d))
+    H0g = ((H0g + np.swapaxes(H0g, -1, -2)) + 0j).astype(np.complex64)
+    opsg = rng.normal(size=(G, T, d, d))
+    opsg = ((opsg + np.swapaxes(opsg, -1, -2)) + 0j).astype(np.complex64)
+    coeffs = (0.3 * rng.normal(size=(N_T, T))).astype(np.float32)
+    dts = np.full(N_T, 0.1, dtype=np.float32)
+    psi0 = rng.normal(size=(K, d)) + 1j * rng.normal(size=(K, d))
+    psi0 = (psi0 / np.linalg.norm(psi0, axis=1, keepdims=True)).astype(
+        np.complex64
+    )
+    st_g, U_g = forward_scan_pallas_grouped(
+        jnp.asarray(H0g), jnp.asarray(opsg), coeffs, dts,
+        jnp.asarray(psi0), group_size=gs, n_squarings=1,
+        with_propagators=True, interpret=True,
+    )
+    st_k, U_k = forward_scan_pallas(
+        jnp.asarray(np.repeat(H0g, gs, axis=0)),
+        jnp.asarray(np.repeat(opsg, gs, axis=0)),
+        coeffs, dts, jnp.asarray(psi0), n_squarings=1,
+        with_propagators=True, interpret=True,
+    )
+    assert np.max(np.abs(np.asarray(st_g) - np.asarray(st_k))) < 1e-5
+    # per-group U equals the (identical) per-trajectory U of each group
+    U_k = np.asarray(U_k).reshape(N_T, G, gs, d, d)
+    assert np.max(np.abs(np.asarray(U_g) - U_k[:, :, 0])) < 1e-6
