@@ -78,9 +78,18 @@ def fg_flops(cp, amp_max=None):
 
     # ---- forward propagation -------------------------------------------
     pd_fw = pd["fw"]
-    total += N_T * k_u * T * MV  # H_n assembly from the T term operators
+    # generator grouping (gate ensembles): the grouped forward kernel
+    # derives one expm per (step, group) — executed-work accounting
+    k_fw = k_u
+    if (
+        not cp.shared_generator
+        and _fg._pallas_forward_enabled(cp, pd)
+        and _fg._effective_group_size(cp) > 1
+    ):
+        k_fw = K // _fg._effective_group_size(cp)
+    total += N_T * k_fw * T * MV  # H_n assembly from the T term operators
     if pd_fw is None:  # ExpProp
-        total += N_T * (k_u * (e_mm + s) * MM + K * MV)
+        total += N_T * (k_fw * (e_mm + s) * MM + K * MV)
     elif pd_fw["kind"] == "cheby":
         n_c = cheby_terms(pd_fw, "tab_fw")
         total += N_T * (n_c - 1) * K * MV
