@@ -48,5 +48,29 @@ def main():
         print(f"sharded fg over {mesh.devices.size} devices: J = {float(J):.6f}")
 
 
+def main_robust_gate():
+    """Robust GATE ensemble (BASELINE config-5 north star): a CZ on an
+    ensemble of perturbed two-transmon Hamiltonians.  Each sample's 4
+    logical basis trajectories share one generator, which the fused
+    kernels exploit automatically (grouped expm bases); the functional
+    is per-sample coherent / cross-sample incoherent
+    (`make_ensemble_gate_functional` — a plain J_T_sm would let the
+    sample-dependent drift phases interfere destructively).  On TPU,
+    add `optimizer="device-lbfgs"` for the device-resident loop."""
+    from grape_tpu import optimize_problem
+    from grape_tpu.models import two_transmon_cz_ensemble_problem
+
+    problem = two_transmon_cz_ensemble_problem(
+        n_samples=4, d=4, T=25.0, n_steps=250,
+    )  # dim=16 demo size; use d=10 (dim=100) for the real benchmark
+    result = optimize_problem(
+        problem, iter_stop=40,
+        check_convergence=lambda r: bool(r.J_T < 1e-2),
+    )
+    print(result)
+    print(f"robust-CZ ensemble J_T: {result.J_T:.3e}")
+
+
 if __name__ == "__main__":
     main()
+    main_robust_gate()
