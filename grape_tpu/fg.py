@@ -998,9 +998,16 @@ def _apply_bw_prop(cp: CompiledProblem, pd_bw, Hd, chi, dt_n, n, U_n=None):
     ``(d, d)`` for a shared generator or ``(K, d, d)``; ``chi (K, d)``."""
     cdtype = cp.psi0.dtype
     if U_n is not None:
-        # expm(+i dt H†) ≡ U_n†; U_n is (d, d) for a shared generator
+        # expm(+i dt H†) ≡ U_n†; U_n is (d, d) for a shared generator,
+        # (G, d, d) for grouped generators, (K, d, d) otherwise
         if U_n.ndim == 2:
             return jnp.einsum("ji,kj->ki", jnp.conj(U_n), chi)
+        if U_n.shape[0] != chi.shape[0]:  # grouped
+            G = U_n.shape[0]
+            cg = chi.reshape(G, chi.shape[0] // G, -1)
+            return jnp.einsum(
+                "gji,gkj->gki", jnp.conj(U_n), cg
+            ).reshape(chi.shape)
         return jnp.einsum("kji,kj->ki", jnp.conj(U_n), chi)
     mv = "ij,kj->ki" if Hd.ndim == 2 else "kij,kj->ki"
     if pd_bw is None:

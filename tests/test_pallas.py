@@ -587,3 +587,31 @@ def test_forward_scan_pallas_grouped_interpret():
     # per-group U equals the (identical) per-trajectory U of each group
     U_k = np.asarray(U_k).reshape(N_T, G, gs, d, d)
     assert np.max(np.abs(np.asarray(U_g) - U_k[:, :, 0])) < 1e-6
+
+
+def test_fg_grouped_us_per_step_backward():
+    """Grouped stored propagators ((G, d, d) per step) through the
+    per-step backward scan (vectorize_backward=False, taylor): the
+    adjoint application must expand the group axis correctly."""
+    from grape_tpu.fg import build_fg, compile_problem
+    from grape_tpu.models import two_transmon_cz_ensemble_problem
+
+    p = two_transmon_cz_ensemble_problem(n_samples=2, d=4, T=4.0,
+                                         n_steps=10)
+    kw = dict(p.kwargs)
+    cp_k = compile_problem(
+        p.trajectories, p.tlist, dtype=np.complex64,
+        gradient_method="taylor", use_pallas=True,
+        vectorize_backward=False, **kw
+    )
+    cp_x = compile_problem(
+        p.trajectories, p.tlist, dtype=np.complex64,
+        gradient_method="taylor", use_pallas=False,
+        vectorize_backward=False, **kw
+    )
+    x = cp_k.guess_pulsevals.reshape(-1)
+    J1, g1, _ = build_fg(cp_k)(x)
+    J2, g2, _ = build_fg(cp_x)(x)
+    gs_ = max(np.max(np.abs(np.asarray(g2))), 1e-12)
+    assert abs(float(J1) - float(J2)) < 1e-5 * max(1, abs(float(J2)))
+    assert np.max(np.abs(np.asarray(g1) - np.asarray(g2))) < 2e-3 * gs_
