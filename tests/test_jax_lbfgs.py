@@ -134,3 +134,51 @@ def test_lbfgs_iter_respects_bounds():
     # constrained optimum: x0 clamps to 1, x1 = b1/A11 = 0.3 interior
     assert abs(float(x[0]) - 1.0) < 1e-6
     assert abs(float(x[1]) - 0.3) < 1e-6
+
+
+def test_morethuente_vs_scipy_dcsrch():
+    """Differential check of the traced Moré-Thuente port against
+    scipy's MINPACK-2 ``dcsrch`` wrapper (``scalar_search_wolfe1`` — the
+    same Fortran the reference's L-BFGS-B uses): on a battery of 1-D
+    objectives, both must accept strong-Wolfe points; where both
+    converge cleanly the accepted objective values agree to the line
+    search's own tolerance class."""
+    from scipy.optimize._linesearch import scalar_search_wolfe1
+
+    cases = [
+        # (phi, dphi): scalar objective along the search direction
+        (lambda t: 0.25 * t**4 - 0.5 * t**2 - 0.1 * t,
+         lambda t: t**3 - t - 0.1),
+        (lambda t: (t - 1.7) ** 2, lambda t: 2 * (t - 1.7)),
+        (lambda t: -t + 50.0 * t**2 / 2, lambda t: -1 + 50.0 * t),
+        (lambda t: jnp.cos(t + 0.3), lambda t: -jnp.sin(t + 0.3)),
+    ]
+    for i, (phi, dphi) in enumerate(cases):
+        f0, dg0 = float(phi(0.0)), float(dphi(0.0))
+        assert dg0 < 0  # descent
+
+        def fg(x, _phi=phi, _dphi=dphi):
+            t = x[0]
+            return _phi(t), jnp.array([_dphi(t)]), {"z": jnp.zeros(())}
+
+        x = jnp.zeros(1, dtype=jnp.float64)
+        d = jnp.ones(1, dtype=jnp.float64)
+        _, g0v, aux0 = fg(x)
+        stp, f, g, _aux, nfev, ok = morethuente_linesearch(
+            fg, x, d, f0, dg0, 1.0, aux0, g0v
+        )
+        stp, f = float(stp), float(f)
+        assert bool(ok), i
+        # strong Wolfe at the accepted point
+        dg = float(dphi(stp))
+        assert f <= f0 + 1e-4 * stp * dg0 + 1e-12, i
+        assert abs(dg) <= 0.9 * abs(dg0) + 1e-12, i
+
+        s_stp, s_f, _ = scalar_search_wolfe1(
+            phi, dphi, phi0=f0, derphi0=dg0, c1=1e-4, c2=0.9
+        )
+        assert s_stp is not None, i
+        # both satisfy the same conditions; the accepted objective
+        # values are comparable (the conditions admit an interval, so
+        # compare f, not stp)
+        assert f <= float(s_f) + 0.1 * (f0 - float(s_f) + 1e-12), i

@@ -615,3 +615,45 @@ def test_fg_grouped_us_per_step_backward():
     gs_ = max(np.max(np.abs(np.asarray(g2))), 1e-12)
     assert abs(float(J1) - float(J2)) < 1e-5 * max(1, abs(float(J2)))
     assert np.max(np.abs(np.asarray(g1) - np.asarray(g2))) < 2e-3 * gs_
+
+
+def test_frechet_trace_pallas_pertraj_non_hermitian_interpret():
+    """The pertraj kernel makes no hermiticity assumption: random
+    NON-Hermitian generators (open-system / Liouvillian regime — the
+    reference's taylor kernel test also uses random non-Hermitian
+    matrices, `/root/reference/test/test_taylor_grad.jl:13-71`)."""
+    from grape_tpu.ops.frechet import expm_frechet
+    from grape_tpu.ops.pallas_frechet import frechet_trace_pallas_pertraj
+
+    rng = np.random.default_rng(43)
+    d, K, T, N_T, s = 8, 2, 2, 3, 1
+    H0 = (rng.normal(size=(K, d, d))
+          + 1j * rng.normal(size=(K, d, d)))  # non-Hermitian
+    ops = (rng.normal(size=(K, T, d, d))
+           + 1j * rng.normal(size=(K, T, d, d)))
+    coeffs = (0.2 * rng.normal(size=(N_T, T))).astype(np.float32)
+    dts = np.full(N_T, 0.1, dtype=np.float32)
+    psis = (rng.normal(size=(N_T, K, d))
+            + 1j * rng.normal(size=(N_T, K, d))).astype(np.complex64)
+    chis = (rng.normal(size=(N_T, K, d))
+            + 1j * rng.normal(size=(N_T, K, d))).astype(np.complex64)
+    trj = np.asarray(frechet_trace_pallas_pertraj(
+        jnp.asarray(H0, dtype=jnp.complex64),
+        jnp.asarray(ops, dtype=jnp.complex64),
+        coeffs, dts, jnp.asarray(psis), jnp.asarray(chis),
+        n_squarings=s, interpret=True, precision="highest",
+    ))
+    for n in range(N_T):
+        for k in range(K):
+            H = (H0[k] + np.einsum(
+                "t,tij->ij", coeffs[n], ops[k]
+            )).astype(np.complex64)
+            A = -1j * dts[n] * H
+            R = np.outer(psis[n, k], np.conj(chis[n, k]))
+            _, G = expm_frechet(
+                jnp.asarray(A)[None], jnp.asarray(R)[None, None],
+                squarings=s,
+            )
+            ref = np.einsum("tab,ba->t", ops[k], np.asarray(G[0, 0]))
+            scale = max(np.max(np.abs(ref)), 1.0)
+            assert np.max(np.abs(trj[n, k] - ref)) < 3e-5 * scale, (n, k)
