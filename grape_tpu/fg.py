@@ -410,7 +410,7 @@ def compile_problem(
         # that regime (Chebyshev propagation, large dims) the per-step
         # extended-state gradgen is d^3-per-direction and loses to the
         # taylor recursion (dim-1024 cheby: 0.5% vs 3.2% device MFU)
-        if not _vec_gradgen_enabled(cp):
+        if cp.dim > 128 or not _vec_gradgen_enabled(cp):
             cp.gradient_method = "taylor"
     return cp
 
@@ -481,7 +481,16 @@ def _merge_traj_prop_settings(trajectories, *given):
         if not vals:
             continue
         norm = {_normalize_prop_method(v) for v in vals}
-        if len(norm) > 1 or len(vals) < K:
+        # what the trajectories WITHOUT the attribute resolve to: the
+        # global kwarg, falling back to prop_method, then the default
+        base = out[i]
+        if base is None and key != "prop_method":
+            base = out[0]
+        eff_default = _normalize_prop_method(base)  # None -> "expprop"
+        partial_hetero = (
+            len(vals) < K and norm != {eff_default}
+        )
+        if len(norm) > 1 or partial_hetero:
             raise NotImplementedError(
                 f"per-trajectory-heterogeneous propagator settings are "
                 f"not supported: trajectories specify {key} in "
@@ -1608,12 +1617,20 @@ def _chi_prop_scan(cp: CompiledProblem, pds, tables, storage, chi_hat,
 
 def _gg_u_bytes_ok(cp: CompiledProblem):
     """U-storage bound for the stored-propagator phase A of the
-    vectorized gradgen pass (``N_T · K · d²`` complex entries; one per
-    GROUP when generator grouping applies)."""
+    vectorized gradgen pass (``N_T · K · d²`` complex entries).  One
+    entry per GROUP only when the grouped Pallas forward kernel is the
+    producer — the XLA forward fallback stores per-trajectory
+    propagators, so counting groups there would under-budget by
+    ``group_size``×."""
     if cp.shared_generator:
         k_u = 1
     else:
-        k_u = cp.n_traj // _effective_group_size(cp)
+        k_u = cp.n_traj
+        if (
+            _effective_group_size(cp) > 1
+            and _pallas_forward_enabled(cp, None)
+        ):
+            k_u = cp.n_traj // _effective_group_size(cp)
     nbytes = (
         cp.n_timesteps * k_u * cp.dim * cp.dim
         * np.dtype(cp.psi0.dtype).itemsize

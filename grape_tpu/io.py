@@ -59,15 +59,41 @@ _DIGEST_EXCLUDE = frozenset({
 })
 
 
+def _describe_trajectory(t):
+    """Content description of one trajectory: states, weight, and the
+    generator's operator content + amplitude identities — the part of
+    the configuration most likely to change between runs (perturbed
+    Hamiltonians, new targets)."""
+    parts = [f"psi0={_describe(np.asarray(t.initial_state))}"]
+    tgt = getattr(t, "target_state", None)
+    parts.append(
+        "tgt=" + (_describe(np.asarray(tgt)) if tgt is not None else "None")
+    )
+    parts.append(f"w={getattr(t, 'weight', 1.0)!r}")
+    gen = getattr(t, "generator", None)
+    if gen is not None and hasattr(gen, "terms"):
+        parts.append("H0=" + _describe(np.asarray(gen.drift)))
+        for op, amp in gen.terms:
+            parts.append(
+                "term=" + _describe(np.asarray(op)) + ":" + _describe(amp)
+            )
+    elif gen is not None:
+        parts.append("gen=" + _describe(gen))
+    return ";".join(parts)
+
+
 def config_digest(trajectories, tlist, kwargs):
-    """Digest of the optimization configuration (trajectory count, time
-    grid, and all result-affecting kwargs) used by
+    """Digest of the optimization configuration — trajectory CONTENT
+    (states, weights, generator operators/amplitudes), the full time
+    grid, and all result-affecting kwargs — used by
     :func:`optimize_or_load` to detect a stale checkpoint."""
     tlist = np.asarray(tlist, dtype=float)
     parts = [
         f"n_traj={len(list(trajectories))}",
-        f"tlist={len(tlist)}:{tlist[0]!r}:{tlist[-1]!r}",
+        "tlist=" + _describe(tlist),
     ]
+    for t in trajectories:
+        parts.append(_describe_trajectory(t))
     for key in sorted(kwargs, key=str):
         if key in _DIGEST_EXCLUDE:
             continue

@@ -8,13 +8,16 @@ kernel speed (measured: experiments/mxu_probe.py ``per_call_floor``; the
 latency is pipelinable, so un-synced dispatches run back-to-back).
 
 This backend runs CHUNKS of optimizer iterations entirely on device: one
-jitted ``lax.scan`` over ``chunk_iters`` optax updates (default
-``optax.lbfgs`` with its zoom line search) with the fg program inlined,
-returning the per-iteration trace (J, J_parts, tau, ψ_T, step widths,
-updates).  The host syncs ONCE per chunk, then replays the trace through
-the normal per-iteration protocol — ``update_result``, callbacks, the
-info table, convergence checks — so the user-visible behavior matches
-the reference's per-iteration contract.  Deviations (documented):
+jitted ``lax.scan`` over ``chunk_iters`` iterations of the NATIVE traced
+L-BFGS + Moré–Thuente strong-Wolfe line search by default
+(``optimizers/jax_lbfgs.py`` — ~1 fg evaluation/iteration; any optax
+``GradientTransformation`` is still accepted via ``transformation=``)
+with the fg program inlined, returning the per-iteration trace (J,
+J_parts, tau, ψ_T, step widths, updates).  The host syncs ONCE per
+chunk, then replays the trace through the normal per-iteration protocol
+— ``update_result``, callbacks, the info table, convergence checks — so
+the user-visible behavior matches the reference's per-iteration
+contract.  Deviations (documented):
 
 - iterations inside a chunk cannot be interrupted by convergence: the
   check runs at replay time and surplus iterations are discarded (the
@@ -24,7 +27,8 @@ the reference's per-iteration contract.  Deviations (documented):
   CHUNK boundary, not the next iteration (set ``chunk_iters=1`` to
   recover exact per-iteration mutation semantics);
 - per-iteration ``secs`` is the chunk wall time divided evenly;
-- FG(F) counters use the line-search step count from the optax state.
+- FG(F) counters use the line-search evaluation counts from the chunk
+  trace (the native search's nfev, or the optax state's step count).
 
 Box bounds are honored by projection after each update (as in the optax
 backend).  Under ``mesh=...`` the chunk program is built with explicit
@@ -65,13 +69,9 @@ class DeviceLoopBackend:
 
         x = jnp.asarray(x)
         if self.native:
-            m = self.m
-            return (
-                jnp.zeros((m, x.shape[0]), x.dtype),
-                jnp.zeros((m, x.shape[0]), x.dtype),
-                jnp.zeros((m,), x.dtype),
-                jnp.asarray(0, dtype=jnp.int32),
-            )
+            from .jax_lbfgs import lbfgs_init_state
+
+            return lbfgs_init_state(x, self.m)
         return self.tx.init(x)
 
     # -- chunk program ------------------------------------------------------

@@ -27,7 +27,23 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["lbfgs_direction", "morethuente_linesearch", "make_lbfgs_iter"]
+__all__ = [
+    "lbfgs_direction", "lbfgs_init_state", "morethuente_linesearch",
+    "make_lbfgs_iter",
+]
+
+
+def lbfgs_init_state(x, m):
+    """Fresh L-BFGS state pytree ``(S (m, n), Y (m, n), rho (m,),
+    count)`` — the single definition shared by :func:`make_lbfgs_iter`
+    and the device loop's host-side re-initialization."""
+    x = jnp.asarray(x)
+    return (
+        jnp.zeros((m, x.shape[0]), x.dtype),
+        jnp.zeros((m, x.shape[0]), x.dtype),
+        jnp.zeros((m,), x.dtype),
+        jnp.asarray(0, dtype=jnp.int32),
+    )
 
 # Moré–Thuente tolerances (the native optimizer's defaults,
 # native/lbfgsb.cpp: ftol=1e-3, gtol=0.9 — L-BFGS-B's own values)
@@ -301,13 +317,7 @@ def make_lbfgs_iter(fg, n, m=10, lower=None, upper=None, maxls=20):
     project = lower is not None and upper is not None
 
     def init_state(x):
-        dtype = jnp.asarray(x).dtype
-        return (
-            jnp.zeros((m, n), dtype=dtype),
-            jnp.zeros((m, n), dtype=dtype),
-            jnp.zeros((m,), dtype=dtype),
-            jnp.asarray(0, dtype=jnp.int32),
-        )
+        return lbfgs_init_state(x, m)
 
     def step(x, state, f, g, aux0):
         S, Y, rho, count = state

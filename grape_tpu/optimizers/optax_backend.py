@@ -123,6 +123,7 @@ class OptaxBackend:
         # warnings; `allow_f_increases=True` silences the former
         allow_f_inc = bool(wrk.kwargs.get("allow_f_increases", False))
         warned_inc = False
+        warned_stall = False
         while True:
             # value_fn must be traceable (optax.lbfgs jits its linesearch);
             # its probes count via the ordered io_callback above
@@ -133,7 +134,7 @@ class OptaxBackend:
             )
             step = np.asarray(updates)
             self._capture_introspection(wrk, state, step)
-            if not np.any(step):
+            if not np.any(step) and not warned_stall:
                 import warnings
 
                 warnings.warn(
@@ -141,6 +142,7 @@ class OptaxBackend:
                     "stalled): the optimizer cannot make progress — "
                     f"‖∇J‖ = {float(np.linalg.norm(g)):.3e}"
                 )
+                warned_stall = True
             x += step
             if has_bounds and self.project_bounds:
                 np.clip(x, wrk.lower_bounds, wrk.upper_bounds, out=x)

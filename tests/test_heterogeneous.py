@@ -303,11 +303,23 @@ def test_per_trajectory_prop_settings():
             [mk(prop_method="cheby"), mk(prop_method="expprop")], tlist,
             J_T=J_T_sm,
         )
-    # partial (some trajectories carry it, some not): rejected too
+    # partial (some trajectories carry it, some not): rejected when the
+    # carried value differs from what the others resolve to ...
     with pytest.raises(NotImplementedError, match="per-trajectory"):
         compile_problem(
             [mk(fw_prop_method="cheby"), mk()], tlist, J_T=J_T_sm,
         )
+    # ... but accepted when it matches the effective default (all
+    # trajectories resolve to the same method — homogeneous in effect)
+    cp_part = compile_problem(
+        [mk(prop_method="expprop"), mk()], tlist, J_T=J_T_sm,
+    )
+    assert cp_part.fw_prop_method == "expprop"
+    cp_part2 = compile_problem(
+        [mk(fw_prop_method="cheby"), mk()], tlist, J_T=J_T_sm,
+        prop_method="cheby",
+    )
+    assert cp_part2.fw_prop_method == "cheby"
     # conflict with the global kwarg
     with pytest.raises(ValueError, match="conflicts with"):
         compile_problem(

@@ -92,3 +92,34 @@ def test_optimize_or_load_config_guard(tmp_path):
             print_iters=False,
         )
     assert abs(r4.J_T - r3.J_T) < 1e-12
+
+
+def test_config_digest_sensitive_to_physics():
+    """The checkpoint digest covers trajectory CONTENT: changing the
+    Hamiltonian, target, weight, or time-grid interior (same counts,
+    same kwargs) changes the digest (code-review round-4 finding: a
+    count-only digest silently returned stale results for perturbed
+    ensembles)."""
+    from grape_tpu.io import config_digest
+
+    def eps(t):
+        return 0.2 * float(flattop(t, T=5, t_rise=0.3, func="blackman"))
+
+    sz = np.array([[1, 0], [0, -1]], dtype=complex)
+    sx = np.array([[0, 1], [1, 0]], dtype=complex)
+
+    def traj(delta=1.0, tgt=(0, 1), w=1.0):
+        H = hamiltonian(-0.5 * delta * sz, (sx, eps))
+        return Trajectory([1, 0], H, target_state=list(tgt), weight=w)
+
+    tlist = np.linspace(0, 5, 51)
+    kw = {"J_T": None, "iter_stop": 3}
+    base = config_digest([traj()], tlist, kw)
+    assert config_digest([traj()], tlist, kw) == base  # deterministic
+    assert config_digest([traj(delta=1.01)], tlist, kw) != base
+    assert config_digest([traj(tgt=(1, 0))], tlist, kw) != base
+    assert config_digest([traj(w=0.5)], tlist, kw) != base
+    # same endpoints, different interior spacing
+    t2 = np.concatenate([np.linspace(0, 2, 26), np.linspace(2, 5, 26)[1:]])
+    assert len(t2) == len(tlist)
+    assert config_digest([traj()], t2, kw) != base
