@@ -20,9 +20,6 @@ documented semantics as the optax device loop); curvature pairs that
 projection renders indefinite (``y·s ≤ 0``) are skipped.
 """
 
-from functools import partial
-
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -133,3 +133,46 @@ def test_sharded_xla_fallback_unchanged():
     x = cp.guess_pulsevals.reshape(-1)
     jaxpr_str = str(jax.make_jaxpr(lambda p: fg_sh(p)[:2])(x))
     assert "pallas_call" not in jaxpr_str
+
+
+def test_sharded_grouped_ensemble_matches():
+    """Grouped-generator kernels under the mesh: when shard boundaries
+    respect the groups (K_loc % group_size == 0) the grouped kernels run
+    per shard; when they would straddle a group the build falls back to
+    ungrouped gracefully — both match the unsharded build."""
+    from grape_tpu.fg import _effective_group_size
+    from grape_tpu.models import two_transmon_cz_ensemble_problem
+    from grape_tpu.parallel import shard_problem
+
+    problem = two_transmon_cz_ensemble_problem(
+        n_samples=4, d=4, T=3.0, n_steps=12,
+    )  # K=16, groups of 4, dim=16
+    kwargs = dict(
+        dtype=np.complex64, gradient_method="gradgen", use_pallas=True,
+    )
+    cp = compile_problem(
+        problem.trajectories, problem.tlist, **kwargs, **problem.kwargs
+    )
+    assert cp.gen_group_size == 4
+    x = cp.guess_pulsevals.reshape(-1)
+    J0, g0, _ = build_fg(cp)(x)
+
+    # groups divide shards: grouped kernels active per shard
+    mesh4 = make_mesh(4)
+    cp4 = shard_problem(cp, mesh4)
+    assert _effective_group_size(cp4) == 4  # K_loc = 4 per shard
+    fg4, _ = build_fg_sharded(cp, mesh4)
+    J4, g4, _ = fg4(x)
+
+    # groups straddle shards (K_loc = 2 < group_size): graceful fallback
+    mesh8 = make_mesh(8)
+    cp8 = shard_problem(cp, mesh8)
+    assert _effective_group_size(cp8) == 1
+    fg8, _ = build_fg_sharded(cp, mesh8)
+    J8, g8, _ = fg8(x)
+
+    g0 = np.asarray(g0)
+    gs_ = max(np.max(np.abs(g0)), 1e-12)
+    for J, g in ((J4, g4), (J8, g8)):
+        assert abs(float(J) - float(J0)) < 1e-5 * max(1, abs(float(J0)))
+        assert np.max(np.abs(np.asarray(g) - g0)) < 1e-4 * gs_
