@@ -143,11 +143,6 @@ class CompiledProblem:
     # per-trajectory Fréchet kernel then derives the expm base once per
     # (step, group) instead of per (step, trajectory).  1 = no grouping.
     gen_group_size: int = 1
-    # set by parallel.mesh when this build runs INSIDE a shard_map region
-    # over the trajectory axis: the per-shard arrays are local unsharded
-    # blocks, so the Pallas kernels may be invoked directly (the Mosaic
-    # custom call runs per shard — no SPMD partitioning rule needed)
-    spmd_local: bool = False
     # set by parallel.mesh.shard_problem: the device mesh and the mesh
     # axis name(s) the trajectory axis shards over.  Kernel invocations
     # then wrap themselves in per-call ``shard_map`` islands (a Mosaic
@@ -1245,28 +1240,39 @@ def _pallas_forward_enabled(cp: CompiledProblem, pds):
 
 def _unsharded_host_problem(cp: CompiledProblem):
     """True when the Pallas kernels may be invoked: the problem arrays
-    are host numpy (single-device build); the build is mesh-sharded with
-    a known trajectory axis (``cp.mesh`` — each kernel call then wraps
-    itself in a per-call ``shard_map`` island via :func:`_shmap`); or
-    the build already runs inside a ``shard_map`` region
-    (``cp.spmd_local``).  Outside those cases (a GSPMD-partitioned build
-    with no mesh information), kernels stay off: a Mosaic custom call
-    has no SPMD partitioning rule, so the partitioner would replicate or
-    fail on it."""
-    return (
-        cp.spmd_local
-        or cp.mesh is not None
-        or isinstance(cp.psi0, np.ndarray)
-    )
+    are host numpy (single-device build), or the build is mesh-sharded
+    with a known trajectory axis (``cp.mesh`` — each kernel call then
+    wraps itself in a per-call ``shard_map`` island via :func:`_shmap`).
+    Outside those cases (a GSPMD-partitioned build with no mesh
+    information), kernels stay off: a Mosaic custom call has no SPMD
+    partitioning rule, so the partitioner would replicate or fail on
+    it."""
+    return cp.mesh is not None or isinstance(cp.psi0, np.ndarray)
+
+
+def _traj_shards(cp: CompiledProblem):
+    """Number of shards the trajectory axis splits into: the product of
+    the mesh axis sizes named in ``cp.mesh_axis`` (NOT the total device
+    count — they differ when the trajectory axis shards over a subset of
+    a multi-axis mesh's axes, and the kernel VMEM/SMEM gates would then
+    under-estimate the local block size)."""
+    if cp.mesh is None:
+        return 1
+    ax = cp.mesh_axis
+    if ax is None:
+        return int(cp.mesh.devices.size)
+    names = ax if isinstance(ax, (tuple, list)) else (ax,)
+    n = 1
+    for name in names:
+        n *= int(cp.mesh.shape[name])
+    return n
 
 
 def _local_traj(cp: CompiledProblem):
     """Per-shard trajectory count: the kernel VMEM/lane gates must see
     the LOCAL block size on a mesh-sharded build (``shard_problem``
     guarantees divisibility)."""
-    if cp.mesh is None:
-        return cp.n_traj
-    return cp.n_traj // int(cp.mesh.devices.size)
+    return cp.n_traj // _traj_shards(cp)
 
 
 def _shmap(cp: CompiledProblem, fn, in_specs, out_specs):

@@ -28,13 +28,46 @@ __all__ = [
 
 def _describe(v):
     """Stable, address-free description of one config value for the
-    digest.  Callables hash by qualified name (a changed lambda BODY
-    under the same name is not detected — the reference's JLD2 workflow
-    has the same blind spot); arrays hash by content."""
+    digest.  Callables hash by qualified name PLUS captured content —
+    bytecode, defaults, and closure-cell values — so two closures with
+    the same name but different captured parameters (the common case:
+    ``mk_guess(E0)`` for different ``E0``) get different digests.
+    Arrays hash by content."""
     if callable(v):
         mod = getattr(v, "__module__", "?")
         qn = getattr(v, "__qualname__", type(v).__name__)
-        return f"fn:{mod}.{qn}"
+        parts = [f"fn:{mod}.{qn}"]
+        code = getattr(v, "__code__", None)
+        if code is not None:
+            parts.append(
+                "co:" + hashlib.sha1(code.co_code).hexdigest()[:12]
+            )
+        for attr in ("__defaults__", "__kwdefaults__"):
+            dv = getattr(v, attr, None)
+            if dv:
+                vals = dv.values() if isinstance(dv, dict) else dv
+                parts.append(
+                    attr[2:4] + ":" + ",".join(_describe(u) for u in vals)
+                )
+        cells = getattr(v, "__closure__", None)
+        if cells:
+            cell_descs = []
+            for cell in cells:
+                try:
+                    cv = cell.cell_contents
+                except ValueError:  # empty cell
+                    cell_descs.append("<empty>")
+                    continue
+                if callable(cv) and getattr(cv, "__closure__", None):
+                    # avoid unbounded recursion through mutually-
+                    # referencing closures: one level of nesting only
+                    cell_descs.append(
+                        f"fn:{getattr(cv, '__qualname__', '?')}"
+                    )
+                else:
+                    cell_descs.append(_describe(cv))
+            parts.append("cl:[" + ",".join(cell_descs) + "]")
+        return ";".join(parts)
     if isinstance(v, np.ndarray):
         return (
             f"ndarray{v.shape}:"
@@ -55,7 +88,8 @@ def _describe(v):
 # a checkpoint
 _DIGEST_EXCLUDE = frozenset({
     "print_iters", "print_iter_info", "store_iter_info", "verbose",
-    "rethrow_exceptions", "callback", "atexit_filename", "profile_dir",
+    "rethrow_exceptions", "callback", "atexit_filename",
+    "atexit_config_digest", "profile_dir",
 })
 
 
@@ -87,9 +121,10 @@ def config_digest(trajectories, tlist, kwargs):
     (states, weights, generator operators/amplitudes), the full time
     grid, and all result-affecting kwargs — used by
     :func:`optimize_or_load` to detect a stale checkpoint."""
+    trajectories = list(trajectories)  # may be a generator: materialize
     tlist = np.asarray(tlist, dtype=float)
     parts = [
-        f"n_traj={len(list(trajectories))}",
+        f"n_traj={len(trajectories)}",
         "tlist=" + _describe(tlist),
     ]
     for t in trajectories:
@@ -101,13 +136,18 @@ def config_digest(trajectories, tlist, kwargs):
     return hashlib.sha1("|".join(parts).encode()).hexdigest()
 
 
-def save_result(result, filename, config_digest=None):
+def save_result(result, filename, config_digest=None, interrupted=False):
     """Serialize a :class:`GrapeResult` to disk (optionally tagged with
-    the producing configuration's digest)."""
+    the producing configuration's digest).  ``interrupted=True`` marks
+    a crash dump (atexit save of an in-progress result): ``
+    optimize_or_load`` then resumes/re-runs instead of returning it as a
+    finished result."""
     os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
     data = result.to_dict()
     if config_digest is not None:
         data["config_digest"] = config_digest
+    if interrupted:
+        data["interrupted"] = True
     with open(filename, "wb") as fh:
         pickle.dump(data, fh)
 
@@ -147,21 +187,45 @@ def optimize_or_load(filename, trajectories, tlist, force=False, **kwargs):
     dumps the in-progress result (``src/optimize.jl:114-124``)."""
     from .optimize import optimize
 
+    trajectories = list(trajectories)  # may be a generator: digesting
+    # and optimizing both iterate it, so materialize exactly once
     digest = config_digest(trajectories, tlist, kwargs)
+    continue_from = None
     if os.path.exists(filename) and not force:
         loaded = load_result(filename)
         stored = getattr(loaded, "config_digest", None)
-        if stored is None or stored == digest:
+        interrupted = bool(getattr(loaded, "interrupted", False))
+        if not interrupted and (stored is None or stored == digest):
             return loaded
         import warnings
 
-        warnings.warn(
-            f"checkpoint {filename} was produced by a different "
-            "configuration (config digest mismatch); re-running the "
-            "optimization and overwriting it"
-        )
+        if interrupted:
+            if stored is None or stored == digest:
+                warnings.warn(
+                    f"checkpoint {filename} is a crash dump of an "
+                    "interrupted optimization; resuming from it "
+                    "instead of returning the partial result"
+                )
+                continue_from = loaded
+            else:
+                warnings.warn(
+                    f"checkpoint {filename} is a crash dump from a "
+                    "DIFFERENT configuration; re-running the "
+                    "optimization and overwriting it"
+                )
+        else:
+            warnings.warn(
+                f"checkpoint {filename} was produced by a different "
+                "configuration (config digest mismatch); re-running the "
+                "optimization and overwriting it"
+            )
+    run_kwargs = dict(kwargs)
+    if continue_from is not None and "continue_from" not in run_kwargs:
+        if getattr(continue_from, "optimized_controls", None) is not None:
+            run_kwargs["continue_from"] = continue_from
     result = optimize(
-        trajectories, tlist, atexit_filename=filename, **kwargs
+        trajectories, tlist, atexit_filename=filename,
+        atexit_config_digest=digest, **run_kwargs
     )
     save_result(result, filename, config_digest=digest)
     return result

@@ -97,7 +97,14 @@ def optimize(trajectories, tlist, **kwargs):
         from .io import save_result
 
         def _crash_save():
-            save_result(wrk.result, atexit_filename)
+            # crash dump: tagged `interrupted` (+ the producing config's
+            # digest when known) so optimize_or_load resumes/re-runs
+            # instead of returning the partial result as final
+            save_result(
+                wrk.result, atexit_filename,
+                config_digest=kwargs.get("atexit_config_digest", None),
+                interrupted=True,
+            )
 
         atexit.register(_crash_save)
         atexit_hook = _crash_save
