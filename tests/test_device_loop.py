@@ -233,3 +233,127 @@ def test_device_loop_sharded_matches_single_device():
     ):
         np.testing.assert_allclose(c_m, c_p, atol=1e-9)
     assert res_mesh.J_T < 0.5  # real optimization progress
+
+
+def test_device_loop_auto_chunk_schedule():
+    """chunk_schedule="auto" (the optimizer="auto" default on TPU,
+    VERDICT round-4 item 3): chunks grow 1 -> 2 -> 4 -> ... while the
+    run is clean, and the math matches the fixed-chunk run exactly."""
+    from grape_tpu.optimizers.device_loop import DeviceLoopBackend
+
+    trajs, tlist = _tls(101)
+    backend = DeviceLoopBackend(chunk_iters=8, chunk_schedule="auto")
+    chunk_sizes = []
+    orig = backend._make_chunk
+
+    def spy(wrk, n_iters=None):
+        chunk_sizes.append(n_iters)
+        return orig(wrk, n_iters)
+
+    backend._make_chunk = spy
+    tr_auto = []
+    # finite bounds -> bound-capped amplitude envelope: no mid-run
+    # envelope growths, so the schedule is the pure growth sequence
+    bounds = dict(upper_bound=1.0, lower_bound=-1.0)
+    res = optimize(
+        trajs, tlist, J_T=J_T_sm, iter_stop=7, print_iters=False,
+        rethrow_exceptions=True, optimizer=backend,
+        callback=lambda w, i: tr_auto.append(float(w.result.J_T)),
+        **bounds,
+    )
+    # growth schedule: 1, 2, 4 (covers iterations 1..7)
+    assert chunk_sizes == [1, 2, 4]
+    # identical math to the fixed chunk=1 run
+    tr_fix = []
+    optimize(
+        trajs, tlist, J_T=J_T_sm, iter_stop=7, print_iters=False,
+        rethrow_exceptions=True, optimizer="device-lbfgs",
+        device_loop_iters=1,
+        callback=lambda w, i: tr_fix.append(float(w.result.J_T)),
+        **bounds,
+    )
+    assert len(tr_auto) == len(tr_fix) == 8
+    np.testing.assert_allclose(tr_auto, tr_fix, rtol=1e-9, atol=1e-12)
+    assert res.iter == 7
+
+
+def test_device_loop_auto_schedule_resets_on_mutation():
+    """A callback that mutates the pulses is an 'eventful' chunk: the
+    auto schedule drops back to chunk=1 (per-iteration mutation
+    semantics while the user is intervening)."""
+    from grape_tpu.optimizers.device_loop import DeviceLoopBackend
+
+    trajs, tlist = _tls(101)
+    backend = DeviceLoopBackend(chunk_iters=8, chunk_schedule="auto")
+    chunk_sizes = []  # size of every LAUNCHED chunk (incl. cache reuse)
+    orig = backend._make_chunk
+
+    def spy(wrk, n_iters=None):
+        fn = orig(wrk, n_iters)
+
+        def logged(*args, _n=n_iters, **kw):
+            chunk_sizes.append(_n)
+            return fn(*args, **kw)
+
+        return logged
+
+    backend._make_chunk = spy
+
+    def mutate_at_3(wrk, iteration):
+        if iteration == 3:
+            wrk.pulsevals *= 0.8
+
+    optimize(
+        trajs, tlist, J_T=J_T_sm, iter_stop=6, print_iters=False,
+        rethrow_exceptions=True, optimizer=backend,
+        callback=mutate_at_3, upper_bound=1.0, lower_bound=-1.0,
+    )
+    # grew 1 -> 2 (iterations 1; 2,3); the mutation at iteration 3 is an
+    # eventful chunk -> reset to 1, then grow again to cover 4..6
+    assert chunk_sizes[:2] == [1, 2]
+    assert chunk_sizes[2] == 1
+    assert chunk_sizes == [1, 2, 1, 2]
+
+
+def test_optimizer_auto_selection():
+    """optimizer default ("auto"): device loop with the growing chunk
+    schedule on TPU, host C++ L-BFGS-B on CPU, host loop whenever
+    fw_prop_callback needs strict per-evaluation host control."""
+    import jax
+
+    from grape_tpu.optimize import _get_optimizer
+    from grape_tpu.optimizers.device_loop import DeviceLoopBackend
+    from grape_tpu.optimizers.lbfgsb import LBFGSB
+
+    class FakeWrk:
+        def __init__(self, kwargs, fw_cb=None):
+            self.kwargs = kwargs
+
+            class CP:
+                fw_prop_callback = fw_cb
+
+            self.cp = CP()
+
+    # CPU (the test platform): default -> host L-BFGS-B
+    assert isinstance(_get_optimizer(FakeWrk({})), LBFGSB)
+    assert isinstance(_get_optimizer(FakeWrk({"optimizer": "auto"})), LBFGSB)
+
+    # fake TPU platform -> device loop with auto schedule
+    class FakeDev:
+        platform = "tpu"
+
+    real_devices = jax.devices
+    jax.devices = lambda *a, **k: [FakeDev()]
+    try:
+        opt = _get_optimizer(FakeWrk({}))
+        assert isinstance(opt, DeviceLoopBackend)
+        assert opt.chunk_schedule == "auto"
+        assert opt.chunk_iters == 16
+        # fw_prop_callback forces the host loop even on TPU
+        opt2 = _get_optimizer(FakeWrk({}, fw_cb=lambda v, t: None))
+        assert isinstance(opt2, LBFGSB)
+        # explicit backend selection is never overridden
+        opt3 = _get_optimizer(FakeWrk({"optimizer": "lbfgsb"}))
+        assert isinstance(opt3, LBFGSB)
+    finally:
+        jax.devices = real_devices

