@@ -33,13 +33,16 @@ def test_auto_resolves_taylor_under_cheby():
     assert cp.gradient_method == "taylor"
 
 
-def test_auto_resolves_taylor_on_recompute_storage():
+def test_auto_keeps_gradgen_on_recompute_storage():
+    """Round 5: the recompute backward runs segment-vectorized (with the
+    fused Fréchet kernels per segment window), so auto keeps gradgen
+    under recompute storage — the round-4 taylor downgrade is gone."""
     p = tls_problem(n_steps=50)
     cp = compile_problem(
         p.trajectories, p.tlist, gradient_method="auto",
         storage_mode="recompute", **p.kwargs
     )
-    assert cp.gradient_method == "taylor"
+    assert cp.gradient_method == "gradgen"
 
 
 def test_auto_optimizes_to_reference_anchor():
