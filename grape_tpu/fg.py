@@ -143,6 +143,14 @@ class CompiledProblem:
     # per-trajectory Fréchet kernel then derives the expm base once per
     # (step, group) instead of per (step, trajectory).  1 = no grouping.
     gen_group_size: int = 1
+    # operator STORAGE layout: True = H0/ops hold ONE entry per
+    # generator group (K/gen_group_size entries) instead of one per
+    # trajectory — a group_size-fold cut of the embedded program
+    # constants (at the 1024-sample BASELINE config-5 letter the
+    # per-trajectory operator stack alone is 1.6 GB of serialized
+    # constants, past the compile server's request limit).  Consumers
+    # needing per-trajectory entries expand via _pertraj_ops.
+    ops_grouped: bool = False
     # set by parallel.mesh.shard_problem: the device mesh and the mesh
     # axis name(s) the trajectory axis shards over.  Kernel invocations
     # then wrap themselves in per-call ``shard_map`` islands (a Mosaic
@@ -269,17 +277,28 @@ def compile_problem(
     # K-fold.  Shared operator arrays are stored with a LENGTH-1 leading
     # axis (never K-tiled): at K=64, dim=1024 the tile alone is 2.1 GB of
     # host memory and 16 GB of serialized program constants (measured —
-    # past the axon compile server's request-size limit).
+    # past the axon compile server's request-size limit).  Contiguous
+    # identical-OBJECT generator runs (gate ensembles: each sample's
+    # basis states share one generator) likewise store ONE entry per
+    # group (`ops_grouped`) — the per-trajectory stack at the
+    # 1024-sample config-5 letter is 1.6 GB of constants.
     same_gen = all(g is g0 for g in generators)
-    stack_gens = (
-        generators[:1] if (same_gen and not per_traj_coeffs)
-        else generators
-    )
+    grun = 1
+    if not same_gen and not per_traj_coeffs:
+        grun = _gen_group_runs(generators)
+        if grun <= 1 or K % grun != 0:
+            grun = 1
+    if same_gen and not per_traj_coeffs:
+        stack_gens = generators[:1]
+    elif grun > 1:
+        stack_gens = generators[::grun]
+    else:
+        stack_gens = generators
     H0 = np.stack([g.drift for g in stack_gens]).astype(cdtype)
     if n_terms > 0:
         ops = np.stack(
             [np.stack([op for (op, _) in g.terms]) for g in stack_gens]
-        ).astype(cdtype)  # (K or 1, T, d, d)
+        ).astype(cdtype)  # (K, groups, or 1, T, d, d)
     else:
         ops = np.zeros((len(stack_gens), 0, dim, dim), dtype=cdtype)
     shared_generator = not per_traj_coeffs and (
@@ -289,6 +308,7 @@ def compile_problem(
     if shared_generator and H0.shape[0] > 1:
         H0 = np.ascontiguousarray(H0[:1])
         ops = np.ascontiguousarray(ops[:1])
+    ops_grouped = grun > 1 and not shared_generator
 
     psi0 = np.stack([t.initial_state for t in trajectories]).astype(cdtype)
     has_targets = all(t.target_state is not None for t in trajectories)
@@ -375,10 +395,16 @@ def compile_problem(
         ),
         fw_prop_observables=tuple(fw_prop_observables or ()),
         shared_generator=shared_generator,
-        gen_group_size=_detect_gen_group_size(
-            trajectories, np.asarray(H0), np.asarray(ops),
-            per_traj_coeffs, shared_generator,
+        # identity-run grouping stores group-level arrays; the legacy
+        # content-equality detection (equal arrays, distinct objects)
+        # keeps per-trajectory storage with sliced group access
+        gen_group_size=(
+            grun if ops_grouped else _detect_gen_group_size(
+                trajectories, np.asarray(H0), np.asarray(ops),
+                per_traj_coeffs, shared_generator,
+            )
         ),
+        ops_grouped=ops_grouped,
         norm_cache=_make_norm_cache(
             H0, ops,
             with_spectral="cheby" in (
@@ -792,6 +818,8 @@ def _step_ops(cp: CompiledProblem, n, tables, cdtype):
     """(H_n (K,d,d), mu_n (K,L,d,d)) for time interval index ``n`` from
     the per-evaluation coefficient tables (see ``_coeff_tables``)."""
     coeffs_all, dM, H0_, ops_ = tables
+    if not cp.shared_generator:
+        H0_, ops_ = _pertraj_ops(cp, H0_, ops_)
     if cp.per_traj_coeffs:
         c = coeffs_all[:, n].astype(cdtype)  # (K, T)
         H = H0_ + jnp.einsum("kt,ktij->kij", c, ops_)
@@ -967,10 +995,15 @@ def _make_fwd_step(cp: CompiledProblem, pds, tables, with_U=False):
         else 1
     )
 
+    if gsz > 1:
+        H0g, opsg = _group_ops(cp, H0_, ops_)
+    elif not shared:
+        H0_, ops_ = _pertraj_ops(cp, H0_, ops_)
+
     def step(psi, n):
         if gsz > 1:
             c = coeffs_all[n].astype(cdtype)  # (T,)
-            H = H0_[::gsz] + jnp.einsum("t,gtij->gij", c, ops_[::gsz])
+            H = H0g + jnp.einsum("t,gtij->gij", c, opsg)
             U = expm((-1j * dt[n].astype(cdtype)) * H)  # (G, d, d)
             G = H.shape[0]
             psig = psi.reshape(G, gsz, -1)
@@ -1650,13 +1683,17 @@ def _chi_prop_scan(cp: CompiledProblem, pds, tables, psis, chi_hat,
         if (pd_bw is None and not shared and not cp.per_traj_coeffs)
         else 1
     )
+    if gsz > 1:
+        H0g, opsg = _group_ops(cp, H0_, ops_)
+    elif not shared:
+        H0_, ops_ = _pertraj_ops(cp, H0_, ops_)
 
     def body(chi, j):
         chi_in = chi  # χ(t_{n+1})
         n = ns[j]
         if gsz > 1:
             c = coeffs_all[n].astype(cdtype)
-            H = H0_[::gsz] + jnp.einsum("t,gtij->gij", c, ops_[::gsz])
+            H = H0g + jnp.einsum("t,gtij->gij", c, opsg)
         elif cp.per_traj_coeffs:
             c = coeffs_all[:, n].astype(cdtype)
             H = H0_ + jnp.einsum("kt,ktij->kij", c, ops_)
@@ -1832,15 +1869,39 @@ def _pallas_gradgen_pertraj_enabled(cp: CompiledProblem, n_steps=None):
 
 
 def _effective_group_size(cp: CompiledProblem):
-    """Group size the pertraj kernel may actually use: detected
+    """Group size the grouped compute paths may actually use: detected
     contiguous generator groups, provided shard boundaries do not
-    straddle a group (per-shard trajectory count divisible)."""
+    straddle a group (per-shard trajectory count divisible;
+    ``shard_problem`` expands group-level operator storage to
+    per-trajectory before sharding whenever they would)."""
     gs = getattr(cp, "gen_group_size", 1) or 1
     if gs <= 1 or cp.per_traj_coeffs:
         return 1
     if _local_traj(cp) % gs != 0:
         return 1
     return gs
+
+
+def _group_ops(cp: CompiledProblem, H0_, ops_):
+    """Operator arrays with ONE entry per generator group (for the
+    grouped ExpProp step / grouped kernels)."""
+    if cp.ops_grouped:
+        return H0_, ops_
+    gs = _effective_group_size(cp)
+    if gs > 1:
+        return H0_[::gs], ops_[::gs]
+    return H0_, ops_
+
+
+def _pertraj_ops(cp: CompiledProblem, H0_, ops_):
+    """Operator arrays with ONE entry per trajectory (for the per-K
+    compute paths), expanding group-level storage by repetition."""
+    if cp.ops_grouped:
+        gs = cp.gen_group_size
+        return (
+            jnp.repeat(H0_, gs, axis=0), jnp.repeat(ops_, gs, axis=0)
+        )
+    return H0_, ops_
 
 
 def _gradgen_chunk(cp: CompiledProblem, n_steps=None, n_intermediates=8,
@@ -1941,15 +2002,15 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, tables, psis,
         from .ops.pallas_frechet import frechet_trace_pallas_pertraj
 
         gsz = _effective_group_size(cp)
+        if gsz > 1:
+            # one operator entry per GROUP (contiguous identical
+            # generators): the kernel derives the base once per
+            # (step, group) and shares it across the group's directions
+            h0_in, ops_in = _group_ops(cp, H0_, ops_)
+        else:
+            h0_in, ops_in = _pertraj_ops(cp, H0_, ops_)
 
         def _ftk(h0, opsk, co, dts, psis_, chis_):
-            if gsz > 1:
-                # one operator entry per GROUP (contiguous identical
-                # generators): the kernel derives the base once per
-                # (step, group) and shares it across the group's
-                # directions
-                h0 = h0[::gsz]
-                opsk = opsk[::gsz]
             return frechet_trace_pallas_pertraj(
                 h0, opsk, co, dts, psis_, chis_,
                 n_squarings=_pallas_squarings(cp, amp_max),
@@ -1967,7 +2028,7 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, tables, psis,
             ),
             out_specs=P(None, ax),
         )(
-            H0_, ops_,
+            h0_in, ops_in,
             co_t.astype(jnp.float32),
             dt.astype(jnp.float32),
             psis, chis,
@@ -1983,6 +2044,8 @@ def _backward_vectorized_gradgen(cp: CompiledProblem, tables, psis,
             )
         return rho[None, :, None].astype(cdtype) * grads
 
+    if not cp.shared_generator:
+        H0_, ops_ = _pertraj_ops(cp, H0_, ops_)
     C = _gradgen_chunk(cp, n_steps=C_loc)
     S = C_loc // C
     idx = jnp.arange(C_loc).reshape(S, C)
@@ -2066,6 +2129,8 @@ def _backward_vectorized(cp: CompiledProblem, tables, psis, chis,
     tlist_j = jnp.asarray(cp.tlist)
     dt = jnp.diff(tlist_j)
     H0_, ops_ = tables[2], tables[3]
+    if not cp.shared_generator:
+        H0_, ops_ = _pertraj_ops(cp, H0_, ops_)
 
     # ---- phase B: batched Taylor recursion over all steps -----------
     co_t, dM_t = tables[0], tables[1]
@@ -2253,11 +2318,12 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False,
             out_sp = (
                 (P(None, ax), P(None, ax)) if want_U else P(None, ax)
             )
+            h0k, opsk = _pertraj_ops(cp, tables[2], tables[3])
             out = _shmap(
                 cp, _fwd,
                 in_specs=(P(ax), P(ax), P(), P(), P(ax)),
                 out_specs=out_sp,
-            )(tables[2], tables[3], coeffs, dts, cp.psi0)
+            )(h0k, opsk, coeffs, dts, cp.psi0)
             storage, Us = out if want_U else (out, None)
         elif _pallas_forward_enabled(cp, pd):
             amp_max = (
@@ -2286,6 +2352,12 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False,
                 )(tables[2][0], tables[3][0], coeffs, dts, cp.psi0)
             else:
                 gsz = _effective_group_size(cp)
+                if gsz > 1:
+                    h0_in, ops_in = _group_ops(cp, tables[2], tables[3])
+                else:
+                    h0_in, ops_in = _pertraj_ops(
+                        cp, tables[2], tables[3]
+                    )
 
                 def _fwd(h0, opsk, co, dts_, psi0_):
                     if gsz > 1:
@@ -2295,7 +2367,7 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False,
                         )
 
                         return forward_scan_pallas_grouped(
-                            h0[::gsz], opsk[::gsz], co, dts_, psi0_,
+                            h0, opsk, co, dts_, psi0_,
                             group_size=gsz,
                             n_squarings=_pallas_squarings(cp, amp_max),
                             with_propagators=want_U,
@@ -2315,7 +2387,7 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False,
                     cp, _fwd,
                     in_specs=(P(ax), P(ax), P(), P(), P(ax)),
                     out_specs=out_sp,
-                )(tables[2], tables[3], coeffs, dts, cp.psi0)
+                )(h0_in, ops_in, coeffs, dts, cp.psi0)
             storage, Us = out if want_U else (out, None)
         elif want_U:
             storage, Us = _forward(cp, tables, pd, with_U=True)

@@ -78,12 +78,13 @@ def fg_flops(cp, amp_max=None):
 
     # ---- forward propagation -------------------------------------------
     pd_fw = pd["fw"]
-    # generator grouping (gate ensembles): the grouped forward kernel
-    # derives one expm per (step, group) — executed-work accounting
+    # generator grouping (gate ensembles): both the grouped Pallas
+    # forward kernel and the grouped XLA ExpProp step (round 5) derive
+    # one expm per (step, group) — executed-work accounting
     k_fw = k_u
     if (
         not cp.shared_generator
-        and _fg._pallas_forward_enabled(cp, pd)
+        and pd_fw is None
         and _fg._effective_group_size(cp) > 1
     ):
         k_fw = K // _fg._effective_group_size(cp)
@@ -102,19 +103,32 @@ def fg_flops(cp, amp_max=None):
     if recompute:
         # segment re-propagation duplicates the forward work once
         total *= 2.0
+    seg_len = (
+        N_T // cp.storage_segments if recompute and cp.storage_segments
+        else N_T
+    )
 
-    if vec_gg and not recompute:
+    if vec_gg:
         # phase A: chi chain — one U†χ matvec/step with stored
-        # propagators, else (U storage over budget: the per-trajectory
-        # kernel route) a per-step adjoint expm scan; phase B: one
-        # rank-1 Fréchet per step (directions = K when the base shares)
-        if _fg._gg_u_bytes_ok(cp):
+        # propagators (full storage within budget, or per-segment
+        # within the segment budget), else a per-step (grouped) adjoint
+        # expm scan; phase B: one rank-1 Fréchet per step (directions =
+        # K when the base shares).  Identical per-step accounting in
+        # both storage modes — recompute only re-runs the forward.
+        k_a = 1 if cp.shared_generator else (
+            K // _fg._effective_group_size(cp)
+        )
+        u_stored = (
+            _fg._seg_reuse_U(cp, pd) if recompute
+            else _fg._gg_u_bytes_ok(cp)
+        )
+        if u_stored:
             total += N_T * K * MV
         else:
-            total += N_T * (k_u * (e_mm + s) * MM + K * MV)
+            total += N_T * (k_a * (e_mm + s) * MM + K * MV)
         total += N_T * K * MV  # R = psi chi† outer products
         if cp.shared_generator:
-            if _fg._pallas_gradgen_enabled(cp) and K > 8:
+            if _fg._pallas_gradgen_enabled(cp, n_steps=seg_len) and K > 8:
                 # k-blocked kernel: the shared base (7 + s matmuls) is
                 # re-derived per 8-direction block riding the grid, and
                 # K pads to the block multiple (executed work, same
@@ -129,7 +143,9 @@ def fg_flops(cp, amp_max=None):
             gsz = (
                 cp.gen_group_size
                 if (
-                    _fg._pallas_gradgen_pertraj_enabled(cp)
+                    _fg._pallas_gradgen_pertraj_enabled(
+                        cp, n_steps=seg_len
+                    )
                     and _fg._effective_group_size(cp) > 1
                 )
                 else 1
@@ -147,16 +163,23 @@ def fg_flops(cp, amp_max=None):
         total += N_T * K * T * MV  # tr(Op_j G) contractions
         return total
 
-    if cp.gradient_method == "taylor" and vec_bw and not recompute:
+    if cp.gradient_method == "taylor" and vec_bw:
         # phase A
         pd_bw = pd["bw"]
-        if reuse_U and pd_bw is None:
+        k_a = 1 if cp.shared_generator else (
+            K // _fg._effective_group_size(cp)
+        )
+        u_avail = (
+            _fg._seg_reuse_U(cp, pd) if recompute
+            else (reuse_U and pd_bw is None)
+        )
+        if u_avail and pd_bw is None:
             total += N_T * K * MV  # U† chi matvecs
         elif pd_bw is not None and pd_bw["kind"] == "cheby":
             n_c = cheby_terms(pd_bw, "tab_bw")
             total += N_T * ((n_c - 1) * K * MV + k_u * T * MV)
         else:
-            total += N_T * (k_u * (e_mm + s) * MM + K * MV + k_u * T * MV)
+            total += N_T * (k_a * (e_mm + s) * MM + K * MV + k_a * T * MV)
         # phase B: n_ord orders of the batched recursion
         per_order = N_T * (
             K * (L + 1) * MV + K * T * MV + 8.0 * K * L * T * d

@@ -105,18 +105,35 @@ def shard_problem(cp: CompiledProblem, mesh, axis=None):
     sharded programs as ARGUMENTS: a complex device array captured as a
     closure constant would need a device→host read-back at trace time
     (also unimplemented)."""
-    n_dev = mesh.devices.size
+    if axis is None:
+        axis = traj_axes(mesh)
+    names = axis if isinstance(axis, (tuple, list)) else (axis,)
+    n_dev = 1
+    for name in names:
+        n_dev *= int(mesh.shape[name])
     if cp.n_traj % n_dev != 0:
         raise ValueError(
             f"number of trajectories ({cp.n_traj}) must be divisible by "
-            f"the mesh size ({n_dev}); pad the ensemble with zero-weight "
-            f"trajectories"
+            f"the trajectory-axis shard count ({n_dev}); pad the "
+            f"ensemble with zero-weight trajectories"
         )
-    if axis is None:
-        axis = traj_axes(mesh)
     traj_sharding = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
     import dataclasses
+
+    # group-level operator storage (cp.ops_grouped: one H0/ops entry per
+    # generator group): shard the GROUP axis when it divides the shard
+    # count, else expand to per-trajectory entries on host first (a
+    # shard boundary must never straddle a group's single operator row)
+    H0_host, ops_host = cp.H0, cp.ops
+    ops_grouped = cp.ops_grouped
+    if ops_grouped:
+        n_groups = np.asarray(H0_host).shape[0]
+        if n_groups % n_dev != 0:
+            gs = cp.gen_group_size
+            H0_host = np.repeat(np.asarray(H0_host), gs, axis=0)
+            ops_host = np.repeat(np.asarray(ops_host), gs, axis=0)
+            ops_grouped = False
 
     # with a shared generator the programs slice H0[0]/ops[0]: replicate
     # the operator arrays so the slice is local on every device
@@ -124,8 +141,9 @@ def shard_problem(cp: CompiledProblem, mesh, axis=None):
     return dataclasses.replace(
         cp,
         psi0=_put(cp.psi0, traj_sharding),
-        H0=_put(cp.H0, op_sharding),
-        ops=_put(cp.ops, op_sharding),
+        H0=_put(H0_host, op_sharding),
+        ops=_put(ops_host, op_sharding),
+        ops_grouped=ops_grouped,
         # recorded so the fg build can wrap Pallas kernel invocations in
         # per-call shard_map islands (fg._shmap) — without this every
         # mesh run fell back to the XLA-only paths (VERDICT r3 item 2)

@@ -241,3 +241,35 @@ def test_grouped_xla_forward_step_matches_ungrouped():
         scale = max(np.max(np.abs(gu)), 1e-12)
         assert abs(float(Jg) - float(Ju)) < 1e-13 * max(1.0, abs(float(Ju)))
         assert np.max(np.abs(gg - gu)) < 1e-11 * scale
+
+
+def test_grouped_operator_storage_layout():
+    """Identity-run generator groups store ONE operator entry per group
+    (round 5: the per-trajectory stack at the 1024-sample config-5
+    letter is 1.6 GB of embedded constants); content-equal but
+    object-distinct generators keep per-trajectory storage (legacy
+    sliced-group access)."""
+    from grape_tpu import Trajectory, hamiltonian
+
+    problem = _tiny_ensemble(n_samples=3)
+    cp = compile_problem(
+        problem.trajectories, problem.tlist, **problem.kwargs,
+    )
+    assert cp.ops_grouped
+    assert cp.gen_group_size == 4
+    assert cp.H0.shape[0] == 3        # one entry per sample
+    assert cp.ops.shape[0] == 3
+    assert cp.n_traj == 12
+
+    # distinct generator objects with equal content: per-traj storage
+    trajs_u = [
+        Trajectory(
+            t.initial_state,
+            hamiltonian(t.generator.drift, *t.generator.terms),
+            target_state=t.target_state,
+        )
+        for t in problem.trajectories
+    ]
+    cp_u = compile_problem(trajs_u, problem.tlist, **problem.kwargs)
+    assert not cp_u.ops_grouped
+    assert cp_u.H0.shape[0] == 12
