@@ -197,6 +197,7 @@ def compile_problem(
     fw_prop_callback=None,
     fw_prop_observables=None,
     gradgen_pallas_precision="high",
+    _controls=None,
     **_ignored,
 ):
     """Compile trajectories + tlist into a :class:`CompiledProblem`.
@@ -222,7 +223,13 @@ def compile_problem(
     )
 
     generators = [t.generator for t in trajectories]
-    controls = get_controls(generators)
+    # _controls: the heterogeneous grouped-compile builder passes the
+    # GLOBAL control list so every partition shares one pulse layout
+    # (a partition's generators may reference only a subset)
+    controls = (
+        tuple(_controls) if _controls is not None
+        else get_controls(generators)
+    )
     L = len(controls)
     if L == 0:
         raise ValueError(
@@ -513,14 +520,16 @@ def _merge_traj_prop_settings(trajectories, *given):
         )
         if len(norm) > 1 or partial_hetero:
             raise NotImplementedError(
-                f"per-trajectory-heterogeneous propagator settings are "
-                f"not supported: trajectories specify {key} in "
-                f"{sorted(norm)} ({len(vals)}/{K} trajectories carry "
-                "the attribute).  The TPU build batches all "
-                "trajectories through one propagation program "
-                "(deviation from the reference's per-trajectory "
-                "propagators, src/workspace.jl:216-233); pass one "
-                f"global {key}= instead"
+                f"per-trajectory-heterogeneous propagator settings in a "
+                f"SINGLE compiled program are not supported: "
+                f"trajectories specify {key} in {sorted(norm)} "
+                f"({len(vals)}/{K} trajectories carry the attribute).  "
+                "Use the driver (grape_tpu.optimize), which partitions "
+                "such ensembles into uniform sub-programs with global "
+                "functional assembly (fg_hetero.compile_heterogeneous; "
+                "reference per-trajectory propagators: "
+                "src/workspace.jl:216-233), or pass one global "
+                f"{key}= here"
             )
         val = vals[0]
         base = out[i]
@@ -1564,6 +1573,8 @@ def uses_static_envelope(cp: CompiledProblem):
     squaring counts, or the vectorized-Taylor order count.  The workspace
     must then re-jit (grow the envelope bucket) when the optimizer pushes
     pulses past the current envelope; see ``GrapeWrk._ensure_envelope``."""
+    if hasattr(cp, "parts"):  # heterogeneous grouped compile
+        return any(uses_static_envelope(p) for p in cp.parts)
     if "cheby" in (
         cp.fw_prop_method, cp.bw_prop_method, cp.grad_prop_method
     ):
@@ -2445,6 +2456,10 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False,
 def build_f(cp: CompiledProblem, amp_max=None):
     """Jitted functional-only evaluation (reference
     ``evaluate_functional``, used for line-search F-only probes)."""
+    if hasattr(cp, "parts"):  # heterogeneous grouped compile
+        from .fg_hetero import build_f_hetero
+
+        return build_f_hetero(cp, amp_max=amp_max)
     _warm_env_cache(cp, amp_max)
     pd = _prop_data(cp, amp_max)
 
@@ -2499,6 +2514,10 @@ def build_fg(cp: CompiledProblem, amp_max=None):
     ``O(sqrt(N_T))`` instead of ``O(N_T)`` states — the remat policy for
     large time grids absent from the reference, SURVEY §7).
     """
+    if hasattr(cp, "parts"):  # heterogeneous grouped compile
+        from .fg_hetero import build_fg_hetero
+
+        return build_fg_hetero(cp, amp_max=amp_max)
     cdtype = cp.psi0.dtype
     rdtype = cp.tlist.dtype
     _warm_env_cache(cp, amp_max)
@@ -2541,155 +2560,10 @@ def build_fg(cp: CompiledProblem, amp_max=None):
         safe_rho = jnp.where(rho > 0, rho, 1.0)
         chi_hat = chi_T / safe_rho[:, None].astype(cdtype)
 
-        bw_step = _make_bw_step(cp, pd, tables, rho, safe_rho, amp_max)
-
-        if not recompute and vec_gg:
-            # time-vectorized gradgen (one rank-1 Fréchet per step serves
-            # all L directions): phase A via the stored propagators when
-            # available, else the U-free per-step co-state scan (the
-            # per-trajectory kernel path at U-storage sizes > 4 GiB)
-            if Us is not None:
-                chis, _ = _chi_trajectory(
-                    cp, storage[:-1], Us, chi_hat, safe_rho
-                )
-            else:
-                chis, _ = _chi_prop_scan(
-                    cp, pd, tables, storage[:-1], chi_hat, safe_rho
-                )
-            tau_grads = _backward_vectorized_gradgen(
-                cp, tables, storage[:-1], chis, rho, amp_max
-            )
-            taylor_ok_all = jnp.asarray(True)
-        elif (
-            not recompute and cp.gradient_method == "taylor" and vec_bw
-        ):
-            # time-vectorized taylor backward: phase A via stored
-            # propagators when available, else a cheap per-step
-            # propagation scan (cheby/newton/expm adjoint)
-            if Us is not None:
-                chis, _ = _chi_trajectory(
-                    cp, storage[:-1], Us, chi_hat, safe_rho
-                )
-            else:
-                chis, _ = _chi_prop_scan(
-                    cp, pd, tables, storage[:-1], chi_hat, safe_rho
-                )
-            tau_grads, taylor_ok_all = _backward_vectorized(
-                cp, tables, storage[:-1], chis, rho, amp_max
-            )
-        elif not recompute:
-            def bw_body(chi, n):
-                U_n = Us[n] if Us is not None else None
-                return bw_step(chi, n, storage[n], U_n)
-
-            ns = jnp.arange(cp.n_timesteps - 1, -1, -1)
-            _, (grads_rev, taylor_oks) = lax.scan(bw_body, chi_hat, ns)
-            tau_grads = grads_rev[::-1]  # (N_T, K, L)
-            taylor_ok_all = jnp.all(taylor_oks)
-        else:
-            S = cp.storage_segments
-            seg_len = cp.n_timesteps // S
-            # segment-vectorized recompute backward (VERDICT round-4
-            # weak #5: the memory tool and the speed tools were mutually
-            # exclusive): per segment, recompute the forward states,
-            # run the χ chain, then phase B time-vectorized over the
-            # segment — including the fused Fréchet kernels, whose
-            # per-invocation window is now seg_len (this is also how
-            # beyond-full-storage ensembles reach the kernels)
-            seg_vec_gg = vec_gg
-            seg_vec_taylor = (
-                cp.gradient_method == "taylor" and vec_bw
-            )
-            if seg_vec_gg or seg_vec_taylor:
-                seg_u = _seg_reuse_U(cp, pd)
-                fwd_step = _make_fwd_step(cp, pd, tables, with_U=seg_u)
-
-                def seg_bwd(chi, s):
-                    ns = s * seg_len + jnp.arange(seg_len)
-
-                    def inner_fwd(psi2, j):
-                        n = s * seg_len + j
-                        if seg_u:
-                            psi_new, U = fwd_step(psi2, n)
-                            return psi_new, (psi2, U)
-                        return fwd_step(psi2, n), psi2
-
-                    _, seg_out = lax.scan(
-                        inner_fwd, checkpoints[s], jnp.arange(seg_len)
-                    )
-                    seg_psis, seg_Us = (
-                        seg_out if seg_u else (seg_out, None)
-                    )
-                    if seg_Us is not None:
-                        chis_seg, chi_out = _chi_trajectory(
-                            cp, seg_psis, seg_Us, chi, safe_rho, ns=ns
-                        )
-                    else:
-                        chis_seg, chi_out = _chi_prop_scan(
-                            cp, pd, tables, seg_psis, chi, safe_rho,
-                            ns=ns,
-                        )
-                    if seg_vec_gg:
-                        grads_seg = _backward_vectorized_gradgen(
-                            cp, tables, seg_psis, chis_seg, rho,
-                            amp_max, ns=ns,
-                        )
-                        t_ok = jnp.asarray(True)
-                    else:
-                        grads_seg, t_ok = _backward_vectorized(
-                            cp, tables, seg_psis, chis_seg, rho,
-                            amp_max, ns=ns,
-                        )
-                    return chi_out, (grads_seg, t_ok)
-
-                _, (seg_grads, seg_oks) = lax.scan(
-                    seg_bwd, chi_hat, jnp.arange(S - 1, -1, -1)
-                )
-                taylor_ok_all = jnp.all(seg_oks)
-                # (S, seg_len, K, L): segments reversed, steps ascending
-                tau_grads = seg_grads[::-1].reshape(
-                    cp.n_timesteps, cp.n_traj, cp.n_controls
-                )
-            else:
-                fwd_step = _make_fwd_step(cp, pd, tables, with_U=reuse_U)
-
-                def seg_bwd(chi, s):
-                    # recompute the forward states of segment s from its
-                    # checkpoint, then run the backward gradient steps
-                    # over it (with segment-local propagator reuse when
-                    # applicable)
-                    def inner_fwd(psi2, j):
-                        n = s * seg_len + j
-                        if reuse_U:
-                            psi_new, U = fwd_step(psi2, n)
-                            return psi_new, (psi2, U)  # Ψ(t_n), U_n
-                        return fwd_step(psi2, n), psi2
-
-                    _, seg_out = lax.scan(
-                        inner_fwd, checkpoints[s], jnp.arange(seg_len)
-                    )
-                    seg_psis, seg_Us = (
-                        seg_out if reuse_U else (seg_out, None)
-                    )
-
-                    def inner_bwd(chi2, jj):
-                        U_n = seg_Us[jj] if seg_Us is not None else None
-                        n = s * seg_len + jj
-                        return bw_step(chi2, n, seg_psis[jj], U_n)
-
-                    chi, (grads_rev, t_oks) = lax.scan(
-                        inner_bwd, chi, jnp.arange(seg_len - 1, -1, -1)
-                    )
-                    return chi, (grads_rev, jnp.all(t_oks))
-
-                _, (seg_grads, seg_oks) = lax.scan(
-                    seg_bwd, chi_hat, jnp.arange(S - 1, -1, -1)
-                )
-                taylor_ok_all = jnp.all(seg_oks)
-                # (S, seg_len, K, L), segments and steps both reversed
-                tau_grads = seg_grads[::-1, ::-1].reshape(
-                    cp.n_timesteps, cp.n_traj, cp.n_controls
-                )
+        tau_grads, taylor_ok_all = _tau_grads_pass(
+            cp, pd, tables, amp_max, storage, checkpoints, Us,
+            chi_hat, rho, safe_rho,
+        )
 
         grad_Tb = -2.0 * jnp.real(jnp.sum(tau_grads, axis=1))  # (N_T, L)
         grad_Tb_flat = grad_Tb.T.reshape(-1)  # l-major flat layout
@@ -2718,3 +2592,172 @@ def build_fg(cp: CompiledProblem, amp_max=None):
         return J, grad, aux
 
     return fg
+
+
+def _tau_grads_pass(cp: CompiledProblem, pd, tables, amp_max, storage,
+                    checkpoints, Us, chi_hat, rho, safe_rho):
+    """The traced backward gradient pass shared by :func:`build_fg` and
+    the heterogeneous grouped-compile builder: from the forward results
+    and the normalized boundary co-states, produce
+    ``(tau_grads (N_T, K, L), taylor_ok)`` via the selected path
+    (time-vectorized gradgen/taylor — full-storage or
+    segment-vectorized recompute — or the per-step scan fallback)."""
+    cdtype = cp.psi0.dtype
+    recompute = cp.storage_mode == "recompute"
+    vec_gg = _vec_gradgen_enabled(cp, pd)
+    reuse_U = _reuse_U_enabled(cp, pd) or (vec_gg and _gg_u_bytes_ok(cp))
+    vec_bw = (
+        cp.vectorize_backward
+        and _vectorized_taylor_orders(cp, amp_max) is not None
+    )
+    bw_step = _make_bw_step(cp, pd, tables, rho, safe_rho, amp_max)
+
+    if not recompute and vec_gg:
+        # time-vectorized gradgen (one rank-1 Fréchet per step serves
+        # all L directions): phase A via the stored propagators when
+        # available, else the U-free per-step co-state scan (the
+        # per-trajectory kernel path at U-storage sizes > 4 GiB)
+        if Us is not None:
+            chis, _ = _chi_trajectory(
+                cp, storage[:-1], Us, chi_hat, safe_rho
+            )
+        else:
+            chis, _ = _chi_prop_scan(
+                cp, pd, tables, storage[:-1], chi_hat, safe_rho
+            )
+        tau_grads = _backward_vectorized_gradgen(
+            cp, tables, storage[:-1], chis, rho, amp_max
+        )
+        taylor_ok_all = jnp.asarray(True)
+    elif (
+        not recompute and cp.gradient_method == "taylor" and vec_bw
+    ):
+        # time-vectorized taylor backward: phase A via stored
+        # propagators when available, else a cheap per-step
+        # propagation scan (cheby/newton/expm adjoint)
+        if Us is not None:
+            chis, _ = _chi_trajectory(
+                cp, storage[:-1], Us, chi_hat, safe_rho
+            )
+        else:
+            chis, _ = _chi_prop_scan(
+                cp, pd, tables, storage[:-1], chi_hat, safe_rho
+            )
+        tau_grads, taylor_ok_all = _backward_vectorized(
+            cp, tables, storage[:-1], chis, rho, amp_max
+        )
+    elif not recompute:
+        def bw_body(chi, n):
+            U_n = Us[n] if Us is not None else None
+            return bw_step(chi, n, storage[n], U_n)
+
+        ns = jnp.arange(cp.n_timesteps - 1, -1, -1)
+        _, (grads_rev, taylor_oks) = lax.scan(bw_body, chi_hat, ns)
+        tau_grads = grads_rev[::-1]  # (N_T, K, L)
+        taylor_ok_all = jnp.all(taylor_oks)
+    else:
+        S = cp.storage_segments
+        seg_len = cp.n_timesteps // S
+        # segment-vectorized recompute backward (VERDICT round-4
+        # weak #5: the memory tool and the speed tools were mutually
+        # exclusive): per segment, recompute the forward states,
+        # run the χ chain, then phase B time-vectorized over the
+        # segment — including the fused Fréchet kernels, whose
+        # per-invocation window is now seg_len (this is also how
+        # beyond-full-storage ensembles reach the kernels)
+        seg_vec_gg = vec_gg
+        seg_vec_taylor = (
+            cp.gradient_method == "taylor" and vec_bw
+        )
+        if seg_vec_gg or seg_vec_taylor:
+            seg_u = _seg_reuse_U(cp, pd)
+            fwd_step = _make_fwd_step(cp, pd, tables, with_U=seg_u)
+
+            def seg_bwd(chi, s):
+                ns = s * seg_len + jnp.arange(seg_len)
+
+                def inner_fwd(psi2, j):
+                    n = s * seg_len + j
+                    if seg_u:
+                        psi_new, U = fwd_step(psi2, n)
+                        return psi_new, (psi2, U)
+                    return fwd_step(psi2, n), psi2
+
+                _, seg_out = lax.scan(
+                    inner_fwd, checkpoints[s], jnp.arange(seg_len)
+                )
+                seg_psis, seg_Us = (
+                    seg_out if seg_u else (seg_out, None)
+                )
+                if seg_Us is not None:
+                    chis_seg, chi_out = _chi_trajectory(
+                        cp, seg_psis, seg_Us, chi, safe_rho, ns=ns
+                    )
+                else:
+                    chis_seg, chi_out = _chi_prop_scan(
+                        cp, pd, tables, seg_psis, chi, safe_rho,
+                        ns=ns,
+                    )
+                if seg_vec_gg:
+                    grads_seg = _backward_vectorized_gradgen(
+                        cp, tables, seg_psis, chis_seg, rho,
+                        amp_max, ns=ns,
+                    )
+                    t_ok = jnp.asarray(True)
+                else:
+                    grads_seg, t_ok = _backward_vectorized(
+                        cp, tables, seg_psis, chis_seg, rho,
+                        amp_max, ns=ns,
+                    )
+                return chi_out, (grads_seg, t_ok)
+
+            _, (seg_grads, seg_oks) = lax.scan(
+                seg_bwd, chi_hat, jnp.arange(S - 1, -1, -1)
+            )
+            taylor_ok_all = jnp.all(seg_oks)
+            # (S, seg_len, K, L): segments reversed, steps ascending
+            tau_grads = seg_grads[::-1].reshape(
+                cp.n_timesteps, cp.n_traj, cp.n_controls
+            )
+        else:
+            fwd_step = _make_fwd_step(cp, pd, tables, with_U=reuse_U)
+
+            def seg_bwd(chi, s):
+                # recompute the forward states of segment s from its
+                # checkpoint, then run the backward gradient steps
+                # over it (with segment-local propagator reuse when
+                # applicable)
+                def inner_fwd(psi2, j):
+                    n = s * seg_len + j
+                    if reuse_U:
+                        psi_new, U = fwd_step(psi2, n)
+                        return psi_new, (psi2, U)  # Ψ(t_n), U_n
+                    return fwd_step(psi2, n), psi2
+
+                _, seg_out = lax.scan(
+                    inner_fwd, checkpoints[s], jnp.arange(seg_len)
+                )
+                seg_psis, seg_Us = (
+                    seg_out if reuse_U else (seg_out, None)
+                )
+
+                def inner_bwd(chi2, jj):
+                    U_n = seg_Us[jj] if seg_Us is not None else None
+                    n = s * seg_len + jj
+                    return bw_step(chi2, n, seg_psis[jj], U_n)
+
+                chi, (grads_rev, t_oks) = lax.scan(
+                    inner_bwd, chi, jnp.arange(seg_len - 1, -1, -1)
+                )
+                return chi, (grads_rev, jnp.all(t_oks))
+
+            _, (seg_grads, seg_oks) = lax.scan(
+                seg_bwd, chi_hat, jnp.arange(S - 1, -1, -1)
+            )
+            taylor_ok_all = jnp.all(seg_oks)
+            # (S, seg_len, K, L), segments and steps both reversed
+            tau_grads = seg_grads[::-1, ::-1].reshape(
+                cp.n_timesteps, cp.n_traj, cp.n_controls
+            )
+
+    return tau_grads, taylor_ok_all

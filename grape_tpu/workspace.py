@@ -62,8 +62,36 @@ class GrapeWrk:
         self.kwargs = dict(kwargs)
         self.trajectories = list(trajectories)
         self.tlist = np.asarray(tlist, dtype=np.float64)
-        self.cp = compile_problem(trajectories, tlist, **self.kwargs)
+        from .fg_hetero import compile_heterogeneous, traj_prop_partition
+
+        partition = traj_prop_partition(self.trajectories, self.kwargs)
+        if partition is not None:
+            # heterogeneous per-trajectory propagator settings: grouped
+            # compile — one sub-problem per settings partition, global
+            # functional/co-state assembly (reference initializes
+            # propagators per trajectory, src/workspace.jl:216-233)
+            self.cp = compile_heterogeneous(
+                self.trajectories, tlist, partition, **self.kwargs
+            )
+        else:
+            self.cp = compile_problem(trajectories, tlist, **self.kwargs)
         self.mesh = self.kwargs.get("mesh", None)
+        if self.mesh is None and hasattr(self.cp, "H0") and (
+            self.cp.H0.nbytes + self.cp.ops.nbytes
+            > int(self.kwargs.get(
+                "max_embedded_constant_bytes", 256 * 1024**2
+            ))
+        ):
+            # big operator arrays: embedding them as program CONSTANTS
+            # exceeds the axon compile server's serialized-request limit
+            # (HTTP 413, hit at the 1024-sample config-5 letter even
+            # with group-level storage).  A 1-device mesh build passes
+            # them as device-resident ARGUMENTS instead (the same
+            # machinery multi-chip sharding uses; measured overhead on
+            # the sharded_1dev_overhead bench row: ~2%).
+            from .parallel import make_mesh
+
+            self.mesh = make_mesh(1)
         if self.mesh is not None:
             # driver-level trajectory parallelism: the problem arrays are
             # sharded over the mesh ONCE; every (re-)built program then
