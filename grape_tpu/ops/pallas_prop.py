@@ -30,7 +30,7 @@ from .expm import _FACT_INV
 __all__ = [
     "forward_scan_pallas", "forward_scan_pallas_time",
     "forward_scan_pallas_shared", "forward_scan_pallas_smalld",
-    "chi_scan_pallas_shared",
+    "chi_scan_pallas_shared", "cheby_scan_pallas_shared",
     "taylor_order_for_bound", "pallas_available",
 ]
 
@@ -869,3 +869,170 @@ def pallas_available():
     import jax
 
     return jax.devices()[0].platform in ("tpu",)
+
+
+def _cheby_kernel_shared(
+    coeffs_ref, tabr_ref, tabi_ref, ph_ref,  # scalar-prefetch (SMEM)
+    h0r_ref, h0i_ref, opsr_ref, opsi_ref, psi0r_ref, psi0i_ref,
+    outr_ref, outi_ref,
+    psir_ref, psii_ref,  # scratch carry (K, d)
+    *, n_terms, n_cheby, n_steps, shift, dE, adjoint,
+):
+    """One time step of the VMEM-resident Chebyshev scan (see
+    ``cheby_scan_pallas_shared``).  The operator planes stay VMEM-
+    resident across all steps (constant index maps); per step the
+    normalized H and the full ``n_cheby``-term recursion
+    ``φ_{k+1} = 2 H_norm φ_k − φ_{k-1}`` run on-chip — the XLA scan
+    re-streams H from HBM for every one of the ~n_cheby matvecs.
+
+    ``adjoint``: run the time axis backward applying
+    ``exp(+i dt H†)`` (the co-state chain); the OUTPUT row ``n`` is the
+    state BEFORE the step update (``chis[n] = χ(t_{n+1})``)."""
+    g = pl.program_id(0)
+    n = (n_steps - 1 - g) if adjoint else g
+
+    @pl.when(g == 0)
+    def _():
+        psir_ref[...] = psi0r_ref[...]
+        psii_ref[...] = psi0i_ref[...]
+
+    hr = h0r_ref[0]
+    hi = h0i_ref[0]
+    for t in range(n_terms):
+        c = coeffs_ref[n, t]
+        hr = hr + c * opsr_ref[t]
+        hi = hi + c * opsi_ref[t]
+    d = hr.shape[-1]
+    ident = jnp.eye(d, dtype=jnp.float32)
+    inv = np.float32(1.0 / dE)
+    hnr = (2.0 * hr - np.float32(shift) * ident) * inv
+    hni = (2.0 * hi) * inv
+    if adjoint:
+        hnr = hnr.T
+        hni = -hni.T
+
+    p0r = psir_ref[...]
+    p0i = psii_ref[...]
+    if adjoint:
+        # chis[n] = χ(t_{n+1}): the value entering this step
+        outr_ref[0] = p0r
+        outi_ref[0] = p0i
+    c0r = tabr_ref[n, 0]
+    c0i = tabi_ref[n, 0]
+    accr = c0r * p0r - c0i * p0i
+    acci = c0r * p0i + c0i * p0r
+    p1r, p1i = _cmatvec(hnr, hni, p0r, p0i)
+    c1r = tabr_ref[n, 1]
+    c1i = tabi_ref[n, 1]
+    accr = accr + c1r * p1r - c1i * p1i
+    acci = acci + c1r * p1i + c1i * p1r
+
+    def body(k, state):
+        p0r, p0i, p1r, p1i, accr, acci = state
+        t2r, t2i = _cmatvec(hnr, hni, p1r, p1i)
+        p2r = 2.0 * t2r - p0r
+        p2i = 2.0 * t2i - p0i
+        cr = tabr_ref[n, k]
+        ci = tabi_ref[n, k]
+        accr = accr + cr * p2r - ci * p2i
+        acci = acci + cr * p2i + ci * p2r
+        return (p1r, p1i, p2r, p2i, accr, acci)
+
+    _, _, _, _, accr, acci = jax.lax.fori_loop(
+        2, n_cheby, body, (p0r, p0i, p1r, p1i, accr, acci)
+    )
+    phr = ph_ref[n, 0]
+    phi_ = ph_ref[n, 1]
+    vr = phr * accr - phi_ * acci
+    vi = phr * acci + phi_ * accr
+    psir_ref[...] = vr
+    psii_ref[...] = vi
+    if not adjoint:
+        outr_ref[0] = vr
+        outi_ref[0] = vi
+
+
+def cheby_scan_pallas_shared(
+    H0, ops, coeffs, tab, ph, shift, dE, psi0, adjoint=False,
+    interpret=False,
+):
+    """Full Chebyshev propagation scan as ONE Pallas kernel
+    (shared-generator; the large-dim regime of the reference's Cheby
+    propagator, ``/root/reference/test/test_lbfgsb_saddle_point.jl:10``).
+
+    Args:
+      H0:   (d, d) complex64 shared drift
+      ops:  (T, d, d) complex64 shared control-term operators
+      coeffs: (N_T, T) float32 per-step term coefficients
+      tab:  (N_T, Kt) complex64 per-step Chebyshev coefficient rows
+        (``fg._cheby_data`` ``tab_fw``/``tab_bw``)
+      ph:   (N_T,) complex64 per-step overall phase
+      shift, dE: static spectral normalization scalars
+      psi0: (K, d) complex64 initial state block (``adjoint``: the final
+        co-states χ(T))
+      adjoint: propagate ``exp(+i dt H†)`` DOWN the time axis and emit
+        ``chis[n] = χ(t_{n+1})`` (phase A of the vectorized backward)
+
+    Returns: (N_T, K, d) complex64 — the states AFTER each step for the
+    forward direction (``storage[1:]``), or the χ trajectory for the
+    adjoint direction.
+    """
+    K, d = psi0.shape
+    T = ops.shape[0]
+    N_T = coeffs.shape[0]
+    n_cheby = int(np.asarray(tab).shape[1])
+    assert n_cheby >= 2
+    f32 = jnp.float32
+    h0r = jnp.real(jnp.asarray(H0)).astype(f32)[None]
+    h0i = jnp.imag(jnp.asarray(H0)).astype(f32)[None]
+    opsr = jnp.real(jnp.asarray(ops)).astype(f32)
+    opsi = jnp.imag(jnp.asarray(ops)).astype(f32)
+    psi0r = jnp.real(jnp.asarray(psi0)).astype(f32)
+    psi0i = jnp.imag(jnp.asarray(psi0)).astype(f32)
+    coeffs = jnp.asarray(coeffs, dtype=f32)
+    tabj = jnp.asarray(tab)
+    tabr = jnp.real(tabj).astype(f32)
+    tabi = jnp.imag(tabj).astype(f32)
+    phj = jnp.asarray(ph)
+    ph2 = jnp.stack(
+        [jnp.real(phj), jnp.imag(phj)], axis=1
+    ).astype(f32)  # (N_T, 2)
+
+    kernel = functools.partial(
+        _cheby_kernel_shared, n_terms=T, n_cheby=n_cheby, n_steps=N_T,
+        shift=float(shift), dE=float(dE), adjoint=bool(adjoint),
+    )
+    if adjoint:
+        out_idx = lambda g, *_: (N_T - 1 - g, 0, 0)  # noqa: E731
+    else:
+        out_idx = lambda g, *_: (g, 0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(N_T,),
+        in_specs=[
+            pl.BlockSpec((1, d, d), lambda g, *_: (0, 0, 0)),
+            pl.BlockSpec((1, d, d), lambda g, *_: (0, 0, 0)),
+            pl.BlockSpec((T, d, d), lambda g, *_: (0, 0, 0)),
+            pl.BlockSpec((T, d, d), lambda g, *_: (0, 0, 0)),
+            pl.BlockSpec((K, d), lambda g, *_: (0, 0)),
+            pl.BlockSpec((K, d), lambda g, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, K, d), out_idx),
+            pl.BlockSpec((1, K, d), out_idx),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, d), f32),
+            pltpu.VMEM((K, d), f32),
+        ],
+    )
+    outr, outi = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((N_T, K, d), f32),
+            jax.ShapeDtypeStruct((N_T, K, d), f32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(coeffs, tabr, tabi, ph2, h0r, h0i, opsr, opsi, psi0r, psi0i)
+    return (outr + 1j * outi).astype(jnp.complex64)
