@@ -76,12 +76,15 @@ def main():
     ap.add_argument("--T", type=float, default=50.0)
     ap.add_argument("--storage", default="recompute",
                     choices=["recompute", "full"])
+    ap.add_argument("--segments", type=int, default=None)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--solve-iters", type=int, default=0,
                     help="device-loop solve iterations (0 = fg timing only)")
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--use-pallas", default="auto")
+    ap.add_argument("--forward-only", action="store_true",
+                    help="time build_f (no gradient) — phase bisection")
     args = ap.parse_args()
 
     if args.cpu:
@@ -99,6 +102,7 @@ def main():
     cp = compile_problem(
         problem.trajectories, problem.tlist, dtype=np.complex64,
         gradient_method="gradgen", storage_mode=args.storage,
+        storage_segments=args.segments,
         use_pallas=use_pallas, **problem.kwargs,
     )
     mem = memory_math(cp)
@@ -118,7 +122,8 @@ def main():
 
         res = optimize_problem(
             problem, dtype=np.complex64, gradient_method="gradgen",
-            storage_mode=args.storage, use_pallas=use_pallas,
+            storage_mode=args.storage, storage_segments=args.segments,
+            use_pallas=use_pallas,
             optimizer="device-lbfgs", device_loop_iters=args.chunk,
             upper_bound=0.5, lower_bound=-0.5,
             iter_stop=args.solve_iters, callback=cb, print_iters=False,
@@ -147,11 +152,21 @@ def main():
     if op_bytes > 256 * 1024**2:
         # constants past the compile server's request limit: 1-device
         # mesh build passes the operator arrays as device arguments
-        from grape_tpu.parallel import build_fg_sharded, make_mesh
+        from grape_tpu.parallel import (
+            build_f_sharded, build_fg_sharded, make_mesh,
+        )
 
-        fg, cp = build_fg_sharded(cp, make_mesh(1))
+        if args.forward_only:
+            fg, cp = build_f_sharded(cp, make_mesh(1))
+        else:
+            fg, cp = build_fg_sharded(cp, make_mesh(1))
         print(f"BUILD device-args (1-device mesh): operator arrays "
-              f"{op_bytes / 1e6:.0f} MB as arguments", flush=True)
+              f"{op_bytes / 1e6:.0f} MB as arguments "
+              f"(forward_only={args.forward_only})", flush=True)
+    elif args.forward_only:
+        from grape_tpu.fg import build_f
+
+        fg = build_f(cp)
     else:
         fg = build_fg(cp)
     x = cp.guess_pulsevals.reshape(-1)
