@@ -85,6 +85,9 @@ def main():
     ap.add_argument("--use-pallas", default="auto")
     ap.add_argument("--forward-only", action="store_true",
                     help="time build_f (no gradient) — phase bisection")
+    ap.add_argument("--calls", type=int, default=1,
+                    help="split fg across N+1 device calls (the axon "
+                         "platform kills executions beyond ~1 min)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -120,14 +123,18 @@ def main():
             stamps.append((iteration, time.perf_counter(),
                            float(wrk.result.J_T)))
 
+        solver_kw = (
+            dict(optimizer="device-lbfgs", device_loop_iters=args.chunk)
+            if args.calls <= 1 else
+            dict(optimizer="lbfgsb", eval_device_calls=args.calls)
+        )
         res = optimize_problem(
             problem, dtype=np.complex64, gradient_method="gradgen",
             storage_mode=args.storage, storage_segments=args.segments,
             use_pallas=use_pallas,
-            optimizer="device-lbfgs", device_loop_iters=args.chunk,
             upper_bound=0.5, lower_bound=-0.5,
             iter_stop=args.solve_iters, callback=cb, print_iters=False,
-            rethrow_exceptions=True,
+            rethrow_exceptions=True, **solver_kw,
         )
         t_by = {it: t for it, t, _ in stamps}
         last = stamps[-1][0]
@@ -149,7 +156,19 @@ def main():
         return
 
     op_bytes = cp.H0.nbytes + cp.ops.nbytes
-    if op_bytes > 256 * 1024**2:
+    if args.calls > 1:
+        from grape_tpu.fg import build_fg_multicall
+
+        if op_bytes > 256 * 1024**2:
+            from grape_tpu.parallel import make_mesh, shard_problem
+
+            cp = shard_problem(cp, make_mesh(1))
+        fg = build_fg_multicall(cp, n_calls=args.calls)
+        print(f"BUILD multicall ({args.calls} backward blocks; operator "
+              f"arrays {op_bytes / 1e6:.0f} MB"
+              + (" as device arguments)" if op_bytes > 256 * 1024**2
+                 else " embedded)"), flush=True)
+    elif op_bytes > 256 * 1024**2:
         # constants past the compile server's request limit: 1-device
         # mesh build passes the operator arrays as device arguments
         from grape_tpu.parallel import (

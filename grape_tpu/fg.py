@@ -1847,8 +1847,12 @@ def _seg_reuse_U(cp: CompiledProblem, pds=None):
     segment-local χ chain (phase A)?  Requires ExpProp everywhere and a
     bounded per-segment U block (``seg_len · k_u · d²`` complex
     entries, one per generator GROUP); beyond the budget, phase A
-    recomputes the (grouped) adjoint expm per step instead — ~10%
-    extra matmuls against the phase-B Fréchet work."""
+    recomputes the (grouped) adjoint expm per step instead.  Budget
+    4 GiB (same as ``_gg_u_bytes_ok``): measured on-chip, crossing
+    from stored-U to the U-free scan cost 1.6× fg throughput at the
+    512-sample config-5 shape (11.2% → 7.7% MFU), so the budget is set
+    to keep the stored path through the 1024-sample letter
+    (seg U = 4.1 GB there)."""
     if cp.reuse_propagators is False or not _all_expprop(cp, pds):
         return False
     seg_len = cp.n_timesteps // max(cp.storage_segments, 1)
@@ -1856,7 +1860,7 @@ def _seg_reuse_U(cp: CompiledProblem, pds=None):
         seg_len * _stored_u_entries(cp) * cp.dim * cp.dim
         * np.dtype(cp.psi0.dtype).itemsize
     )
-    return nbytes <= 1 * 1024**3
+    return nbytes <= 4 * 1024**3
 
 
 def _pallas_gradgen_enabled(cp: CompiledProblem, n_steps=None):
@@ -2671,6 +2675,60 @@ def build_fg(cp: CompiledProblem, amp_max=None):
     return fg
 
 
+def _seg_bwd_vectorized(cp: CompiledProblem, pd, tables, checkpoints,
+                        chi_carry, rho, safe_rho, amp_max, seg_idx_desc):
+    """Segment-vectorized recompute backward over the (traced,
+    DESCENDING) segment indices ``seg_idx_desc``: per segment, recompute
+    the forward states (storing the per-step propagators when the
+    segment-U budget allows), run the χ chain, then phase B
+    time-vectorized over the segment window — including the fused
+    Fréchet kernels.  Returns ``(chi_out, (seg_grads, seg_oks))`` with
+    ``seg_grads (n_scanned, seg_len, K, L)`` in scan order (descending
+    segments, ascending steps within each).  ``chi_carry`` is χ entering
+    the highest scanned segment from the later side — which lets
+    :func:`build_fg_multicall` split one evaluation into several device
+    calls (the axon platform kills executions beyond ~1 minute)."""
+    seg_len = cp.n_timesteps // cp.storage_segments
+    seg_vec_gg = _vec_gradgen_enabled(cp, pd)
+    seg_u = _seg_reuse_U(cp, pd)
+    fwd_step = _make_fwd_step(cp, pd, tables, with_U=seg_u)
+
+    def seg_bwd(chi, s):
+        ns = s * seg_len + jnp.arange(seg_len)
+
+        def inner_fwd(psi2, j):
+            n = s * seg_len + j
+            if seg_u:
+                psi_new, U = fwd_step(psi2, n)
+                return psi_new, (psi2, U)
+            return fwd_step(psi2, n), psi2
+
+        _, seg_out = lax.scan(
+            inner_fwd, checkpoints[s], jnp.arange(seg_len)
+        )
+        seg_psis, seg_Us = seg_out if seg_u else (seg_out, None)
+        if seg_Us is not None:
+            chis_seg, chi_out = _chi_trajectory(
+                cp, seg_psis, seg_Us, chi, safe_rho, ns=ns
+            )
+        else:
+            chis_seg, chi_out = _chi_prop_scan(
+                cp, pd, tables, seg_psis, chi, safe_rho, ns=ns,
+            )
+        if seg_vec_gg:
+            grads_seg = _backward_vectorized_gradgen(
+                cp, tables, seg_psis, chis_seg, rho, amp_max, ns=ns,
+            )
+            t_ok = jnp.asarray(True)
+        else:
+            grads_seg, t_ok = _backward_vectorized(
+                cp, tables, seg_psis, chis_seg, rho, amp_max, ns=ns,
+            )
+        return chi_out, (grads_seg, t_ok)
+
+    return lax.scan(seg_bwd, chi_carry, seg_idx_desc)
+
+
 def _tau_grads_pass(cp: CompiledProblem, pd, tables, amp_max, storage,
                     checkpoints, Us, chi_hat, rho, safe_rho):
     """The traced backward gradient pass shared by :func:`build_fg` and
@@ -2747,49 +2805,9 @@ def _tau_grads_pass(cp: CompiledProblem, pd, tables, amp_max, storage,
             cp.gradient_method == "taylor" and vec_bw
         )
         if seg_vec_gg or seg_vec_taylor:
-            seg_u = _seg_reuse_U(cp, pd)
-            fwd_step = _make_fwd_step(cp, pd, tables, with_U=seg_u)
-
-            def seg_bwd(chi, s):
-                ns = s * seg_len + jnp.arange(seg_len)
-
-                def inner_fwd(psi2, j):
-                    n = s * seg_len + j
-                    if seg_u:
-                        psi_new, U = fwd_step(psi2, n)
-                        return psi_new, (psi2, U)
-                    return fwd_step(psi2, n), psi2
-
-                _, seg_out = lax.scan(
-                    inner_fwd, checkpoints[s], jnp.arange(seg_len)
-                )
-                seg_psis, seg_Us = (
-                    seg_out if seg_u else (seg_out, None)
-                )
-                if seg_Us is not None:
-                    chis_seg, chi_out = _chi_trajectory(
-                        cp, seg_psis, seg_Us, chi, safe_rho, ns=ns
-                    )
-                else:
-                    chis_seg, chi_out = _chi_prop_scan(
-                        cp, pd, tables, seg_psis, chi, safe_rho,
-                        ns=ns,
-                    )
-                if seg_vec_gg:
-                    grads_seg = _backward_vectorized_gradgen(
-                        cp, tables, seg_psis, chis_seg, rho,
-                        amp_max, ns=ns,
-                    )
-                    t_ok = jnp.asarray(True)
-                else:
-                    grads_seg, t_ok = _backward_vectorized(
-                        cp, tables, seg_psis, chis_seg, rho,
-                        amp_max, ns=ns,
-                    )
-                return chi_out, (grads_seg, t_ok)
-
-            _, (seg_grads, seg_oks) = lax.scan(
-                seg_bwd, chi_hat, jnp.arange(S - 1, -1, -1)
+            _, (seg_grads, seg_oks) = _seg_bwd_vectorized(
+                cp, pd, tables, checkpoints, chi_hat, rho, safe_rho,
+                amp_max, jnp.arange(S - 1, -1, -1),
             )
             taylor_ok_all = jnp.all(seg_oks)
             # (S, seg_len, K, L): segments reversed, steps ascending
@@ -2838,3 +2856,182 @@ def _tau_grads_pass(cp: CompiledProblem, pd, tables, amp_max, storage,
             )
 
     return tau_grads, taylor_ok_all
+
+
+def build_fg_multicall(cp: CompiledProblem, amp_max=None, n_calls=4):
+    """Function-and-gradient evaluation split across ``n_calls + 1``
+    device executions (recompute storage, vectorized backward only).
+
+    The axon TPU platform kills any single program execution running
+    longer than ~1 minute ("TPU worker crashed"; measured: 51 s
+    executes, ~90 s crashes — the BASELINE config-5 letter at 1024
+    samples × 2000 steps needs ~80-100 s per fg).  This builder keeps
+    the math identical while bounding each execution: one jitted
+    forward program (recompute checkpoints + functional + boundary
+    co-states), then ``n_calls`` invocations of ONE jitted
+    backward-block program, each covering ``S/n_calls`` segments with
+    the χ carry chained between calls (device-resident — no host
+    round-trip of the large arrays).
+
+    Returns ``fg(pulsevals) -> (J, grad, aux)`` with the same contract
+    as :func:`build_fg` (J/grad/aux as host-ready values).
+    """
+    if cp.storage_mode != "recompute":
+        raise ValueError("build_fg_multicall requires recompute storage")
+    S = cp.storage_segments
+    n_calls = int(n_calls)
+    while S % n_calls != 0:
+        n_calls += 1
+    B = S // n_calls
+    rdtype = cp.tlist.dtype
+    cdtype = cp.psi0.dtype
+    _warm_env_cache(cp, amp_max)
+    pd = _prop_data(cp, amp_max)
+    if not (
+        _vec_gradgen_enabled(cp, pd)
+        or (
+            cp.gradient_method == "taylor" and cp.vectorize_backward
+            and _vectorized_taylor_orders(cp, amp_max) is not None
+        )
+    ):
+        raise ValueError(
+            "build_fg_multicall requires the segment-vectorized "
+            "backward (ExpProp gradgen, or taylor with static orders)"
+        )
+
+    if cp.mesh is not None:
+        # device-argument mode (operator constants past the compile
+        # server's request limit): the sharded arrays enter as args
+        import dataclasses
+
+        from jax.sharding import NamedSharding
+
+        dev = {
+            "psi0": cp.psi0, "H0": cp.H0, "ops": cp.ops,
+        }
+        repl = NamedSharding(cp.mesh, P())
+        arr_shardings = {k: v.sharding for k, v in dev.items()}
+
+        def with_arrs(fn):
+            def call(*args):
+                *rest, arrs = args
+                cp_t = dataclasses.replace(cp, **arrs)
+                return fn(cp_t, *rest)
+            return call
+    else:
+        dev = None
+
+        def with_arrs(fn):
+            def call(*args):
+                return fn(cp, *args)
+            return call
+
+    def fwd_impl(cp_t, pulsevals):
+        pulsevals = jnp.asarray(pulsevals, dtype=rdtype)
+        eps = jnp.reshape(
+            pulsevals, (cp_t.n_controls, cp_t.n_timesteps)
+        ).astype(rdtype)
+        tables = _coeff_tables(cp_t, eps)
+        _st, checkpoints, psi_T, (J_T_val, J_a_val, J_b_val, tau), _u = (
+            _evaluate_forward(cp_t, pd, pulsevals, tables=tables)
+        )
+        chi_T = _chi_boundary(cp_t, psi_T, tau).astype(cdtype)
+        rho = jnp.sqrt(jnp.sum(jnp.abs(chi_T) ** 2, axis=-1))
+        chi_ok = jnp.all(rho > cp_t.chi_min_norm)
+        safe_rho = jnp.where(rho > 0, rho, 1.0)
+        chi_hat = chi_T / safe_rho[:, None].astype(cdtype)
+        if cp_t.grad_J_a is not None:
+            grad_J_a_flat = jnp.reshape(
+                cp_t.grad_J_a(pulsevals, cp_t.tlist), (-1,)
+            ).astype(rdtype)
+        else:
+            grad_J_a_flat = jnp.zeros(
+                cp_t.n_controls * cp_t.n_timesteps, dtype=rdtype
+            )
+        return (
+            checkpoints, chi_hat, rho, safe_rho, chi_ok,
+            jnp.stack([J_T_val, J_a_val, J_b_val]),
+            pack_complex(tau if tau is not None else jnp.zeros(cp.n_traj)),
+            pack_complex(psi_T),
+            grad_J_a_flat,
+        )
+
+    def bwd_impl(cp_t, pulsevals, checkpoints, chi, rho, safe_rho, s0):
+        pulsevals = jnp.asarray(pulsevals, dtype=rdtype)
+        eps = jnp.reshape(
+            pulsevals, (cp_t.n_controls, cp_t.n_timesteps)
+        ).astype(rdtype)
+        tables = _coeff_tables(cp_t, eps)
+        seg_idx = s0 + jnp.arange(B - 1, -1, -1)
+        chi_out, (seg_grads, seg_oks) = _seg_bwd_vectorized(
+            cp_t, pd, tables, checkpoints, chi, rho, safe_rho,
+            amp_max, seg_idx,
+        )
+        # (B, seg_len, K, L) scan order (segments descending) ->
+        # ascending steps, reduced over trajectories on device
+        seg_len = cp_t.n_timesteps // cp_t.storage_segments
+        g_block = -2.0 * jnp.real(jnp.sum(seg_grads[::-1], axis=2))
+        g_block = g_block.reshape(B * seg_len, cp_t.n_controls)
+        return chi_out, g_block.astype(rdtype), jnp.all(seg_oks)
+
+    hp = jax.default_matmul_precision("highest")  # used as a decorator
+    if cp.mesh is not None:
+        fwd = jax.jit(
+            hp(with_arrs(fwd_impl)),
+            in_shardings=(repl, arr_shardings),
+            out_shardings=repl,
+        )
+        bwd = jax.jit(
+            hp(with_arrs(bwd_impl)),
+            in_shardings=(
+                repl, repl, repl, repl, repl, repl, arr_shardings,
+            ),
+            out_shardings=repl,
+        )
+
+        def fwd_call(x):
+            return fwd(x, dev)
+
+        def bwd_call(x, ckpt, chi, rho, srho, s0):
+            return bwd(x, ckpt, chi, rho, srho, s0, dev)
+    else:
+        fwd_call = jax.jit(hp(with_arrs(fwd_impl)))
+        bwd_call = jax.jit(hp(with_arrs(bwd_impl)))
+
+    def fg(pulsevals):
+        x = np.asarray(pulsevals, dtype=np.float64)
+        (ckpt, chi, rho, srho, chi_ok, J_parts, tau_p, psi_T_p,
+         grad_J_a_flat) = fwd_call(x)
+        blocks = []
+        oks = []
+        for c in range(n_calls - 1, -1, -1):
+            chi, g_block, ok = bwd_call(
+                x, ckpt, chi, rho, srho,
+                jnp.asarray(c * B, dtype=jnp.int32),
+            )
+            blocks.append(g_block)
+            oks.append(ok)
+        # blocks were produced from the LAST time block down to the
+        # first; each block is ascending in time internally
+        grad_Tb = np.concatenate(
+            [np.asarray(b) for b in reversed(blocks)], axis=0
+        )  # (N_T, L)
+        grad = grad_Tb.T.reshape(-1).astype(np.float64)
+        grad_J_a_np = np.asarray(grad_J_a_flat, dtype=np.float64)
+        grad = grad + cp.lambda_a * grad_J_a_np
+        J_parts_np = np.asarray(J_parts, dtype=np.float64)
+        aux = {
+            "grad_J_Tb": grad_Tb.T.reshape(-1),
+            "grad_J_a": grad_J_a_np,
+            "J_parts": J_parts_np,
+            "tau": np.asarray(tau_p),
+            "psi_T": np.asarray(psi_T_p),
+            "chi_ok": np.asarray(chi_ok),
+            "taylor_ok": np.asarray(
+                all(bool(np.asarray(o)) for o in oks)
+            ),
+            "chi_norms": np.asarray(rho),
+        }
+        return float(J_parts_np.sum()), grad, aux
+
+    return fg

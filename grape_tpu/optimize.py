@@ -202,7 +202,12 @@ def _get_optimizer(wrk):
         import jax
 
         on_tpu = jax.devices()[0].platform == "tpu"
-        if on_tpu and wrk.cp.fw_prop_callback is None:
+        if (
+            on_tpu and wrk.cp.fw_prop_callback is None
+            and int(wrk.kwargs.get("eval_device_calls", 1)) <= 1
+        ):
+            # (multi-call fg evaluations cannot inline into the device
+            # loop's jitted chunk scan: host reverse-communication then)
             from .optimizers.device_loop import DeviceLoopBackend
             return DeviceLoopBackend(
                 chunk_iters=int(wrk.kwargs.get("device_loop_iters", 16)),

@@ -334,6 +334,25 @@ class GrapeWrk:
     def _build_programs(self, key):
         """Build (fg, f) for an envelope bucket `key` (no cache I/O)."""
         amp_max = np.asarray(key) if key is not None else None
+        calls = int(self.kwargs.get("eval_device_calls", 1))
+        if calls > 1:
+            # split one fg evaluation across multiple device executions
+            # (the axon platform kills single executions beyond ~1 min;
+            # needed at the 1024-sample config-5 letter scale)
+            from .fg import build_fg_multicall
+
+            fg = build_fg_multicall(
+                self.cp, amp_max=amp_max, n_calls=calls
+            )
+            if self.mesh is not None:
+                from .parallel import build_f_sharded
+
+                f, _ = build_f_sharded(
+                    self.cp, self.mesh, amp_max=amp_max, presharded=True
+                )
+            else:
+                f = build_f(self.cp, amp_max=amp_max)
+            return fg, f
         if self.mesh is not None:
             from .parallel import build_f_sharded, build_fg_sharded
 

@@ -273,3 +273,40 @@ def test_grouped_operator_storage_layout():
     cp_u = compile_problem(trajs_u, problem.tlist, **problem.kwargs)
     assert not cp_u.ops_grouped
     assert cp_u.H0.shape[0] == 12
+
+
+def test_multicall_fg_matches_single_call():
+    """build_fg_multicall (round 5: the axon platform kills single
+    executions beyond ~1 min, so the letter-scale fg splits into one
+    forward + n backward-block device calls with a device-resident χ
+    carry) is the SAME math as build_fg: J, gradient, and aux agree
+    exactly."""
+    from grape_tpu.fg import build_fg_multicall
+
+    problem = _tiny_ensemble(n_samples=2, d=3, n_steps=60, T=10.0)
+    cp = compile_problem(
+        problem.trajectories, problem.tlist, gradient_method="gradgen",
+        storage_mode="recompute", **problem.kwargs,
+    )
+    x = cp.guess_pulsevals.reshape(-1)
+    J1, g1, aux1 = build_fg(cp)(x)
+    fg_mc = build_fg_multicall(cp, n_calls=3)  # S=10 -> 5 blocks of 2? 10%3!=0 -> n_calls grows to 5
+    J2, g2, aux2 = fg_mc(x)
+    assert abs(float(J1) - J2) < 1e-13 * max(1.0, abs(float(J1)))
+    g1 = np.asarray(g1)
+    scale = max(np.max(np.abs(g1)), 1e-12)
+    assert np.max(np.abs(g1 - g2)) < 1e-12 * scale
+    np.testing.assert_allclose(
+        np.asarray(aux1["J_parts"]), aux2["J_parts"], atol=1e-14
+    )
+    assert bool(aux2["chi_ok"]) and bool(aux2["taylor_ok"])
+
+    # taylor flavor
+    cp_t = compile_problem(
+        problem.trajectories, problem.tlist, gradient_method="taylor",
+        storage_mode="recompute", **problem.kwargs,
+    )
+    J3, g3, _ = build_fg(cp_t)(x)
+    J4, g4, _ = build_fg_multicall(cp_t, n_calls=2)(x)
+    assert abs(float(J3) - J4) < 1e-13 * max(1.0, abs(float(J3)))
+    assert np.max(np.abs(np.asarray(g3) - g4)) < 1e-12 * scale
