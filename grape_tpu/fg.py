@@ -1433,7 +1433,12 @@ def _pallas_cheby_enabled(cp: CompiledProblem, pd_dir):
     T_terms = int(np.asarray(cp.M).shape[-2])
     if cp.dim < 256:
         return False
-    if 4 * cp.dim * cp.dim * (2 * T_terms + 6) > 100 * 1024**2:
+    # VMEM model (2T+6 resident d² f32 planes) capped at 40 MB: the
+    # Mosaic STACK budget also holds the matmul/transpose temporaries —
+    # measured: d=1024, T=4 (58.7 MB of planes) fails AOT compile with
+    # "Ran out of memory in memory space vmem ... on stack"; d=256
+    # compiles and wins 2.1×.  Past the budget the XLA scan path runs.
+    if 4 * cp.dim * cp.dim * (2 * T_terms + 6) > 40 * 1024**2:
         return False
     return _pallas_platform_ok(cp)
 
