@@ -222,11 +222,15 @@ def _sweep_configs():
             storage_mode=storage_mode, **problem.kwargs
         )
         if cp.H0.nbytes + cp.ops.nbytes > 256 * 1024**2:
-            # operator constants past the compile server's request
-            # limit: device-argument build over a 1-device mesh
-            from grape_tpu.parallel import build_fg_sharded, make_mesh
+            # letter scale: device-argument build (constants past the
+            # compile server's request limit) + the fg evaluation split
+            # across bounded-duration device calls (the platform kills
+            # single executions past ~1 min — BENCH.md round 5)
+            from grape_tpu.fg import build_fg_multicall
+            from grape_tpu.parallel import make_mesh, shard_problem
 
-            return build_fg_sharded(cp, make_mesh(1))
+            cp = shard_problem(cp, make_mesh(1))
+            return build_fg_multicall(cp, n_calls=3), cp
         return build_fg(cp), cp
 
     def ensemble(K, n_steps):
@@ -262,19 +266,20 @@ def _sweep_configs():
          lambda: cz_ensemble(8, 800, use_pallas=False), 800, 32),
         ("dim100_cz_ensembleK8_gradgen",
          lambda: cz_ensemble(2, 800), 800, 8),
-        # BASELINE config-5 AT THE LETTER: 1024 Hamiltonian samples ->
-        # K=4096 trajectories, dim=100, 2000 steps, segment-vectorized
-        # recompute backward + grouped pertraj Fréchet kernel (round 5)
-        ("dim100_cz_ens1024samples_recompute",
-         lambda: cz_ensemble(
-             1024, 2000, storage_mode="recompute"
-         ), 2000, 4096),
         ("ensemble1024_qutrit_taylor", lambda: ensemble(1024, 400),
          400, 1024),  # BASELINE config 5 (small-dim lane kernel)
         ("cz_device_loop_iters", None, 800, 4),  # device-resident loop
         # north-star end-to-end: robust ensemble x pertraj kernel x
         # device-resident native L-BFGS (BASELINE config-5 pattern)
         ("ens_cz_device_loop_iters", None, 800, 32),
+        # BASELINE config-5 AT THE LETTER: 1024 Hamiltonian samples ->
+        # K=4096 trajectories, dim=100, 2000 steps, segment-vectorized
+        # recompute backward + grouped pertraj Fréchet kernel, fg split
+        # across bounded-duration device calls (round 5)
+        ("dim100_cz_ens1024samples_recompute",
+         lambda: cz_ensemble(
+             1024, 2000, storage_mode="recompute"
+         ), 2000, 4096),
         ("dim16_cz_taylor", lambda: cz(4, 400, "taylor", "expprop"),
          400, 4),
         ("dim256_cz_cheby_taylor",
@@ -592,9 +597,11 @@ def _run_sweep():
     if inproc:
         # in-process entries cost seconds, not a 100-530 s queue each:
         # afford the full sweep unless the user pinned a budget
+        # (1500 s since round 5: the letter-scale flagship row alone is
+        # ~1 warm + 2 evals x 73 s)
         budget = SWEEP_BUDGET_S
         if "GRAPE_BENCH_SWEEP_BUDGET" not in os.environ:
-            budget = 900.0
+            budget = 1500.0
         sweep = []
         t0 = time.perf_counter()
         for name, _build, _n, _k in _sweep_configs():
