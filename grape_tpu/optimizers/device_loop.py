@@ -410,9 +410,14 @@ class DeviceLoopBackend:
             wrk._ensure_envelope(x)
             if self.chunk_schedule == "auto":
                 # eventful chunk (mutation/envelope): back to exact
-                # per-iteration semantics; clean chunk: amortize harder
+                # per-iteration semantics; clean chunk: amortize harder.
+                # Duration guard: the axon platform kills single
+                # executions past ~1 min (CLAUDE.md), so never grow a
+                # chunk whose doubled duration could cross ~45 s (a
+                # line-search-heavy iteration can triple a chunk's fg
+                # count, hence the conservative bound).
                 if eventful:
                     cur_iters = 1
-                elif not stopped:
+                elif not stopped and 2 * chunk_secs < 45.0:
                     cur_iters = min(2 * cur_iters, self.chunk_iters)
         return None
