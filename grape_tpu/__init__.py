@@ -21,6 +21,7 @@ from .generators import Generator, align_generators, hamiltonian, liouvillian
 from .info_table import make_grape_print_iters
 from .interfaces import check_generator, check_problem, check_state
 from .io import load_optimization, load_result, optimize_or_load, save_result
+from .krotov import KrotovResult, optimize_krotov
 from .optimize import optimize, optimize_problem
 from .propagate import propagate, substitute
 from .result import GrapeResult
@@ -35,7 +36,8 @@ from . import functionals, shapes
 __version__ = "0.1.0"
 
 __all__ = [
-    "optimize", "optimize_problem", "GrapeResult", "Trajectory",
+    "optimize", "optimize_problem", "optimize_krotov", "KrotovResult",
+    "GrapeResult", "Trajectory",
     "ControlProblem", "hamiltonian", "liouvillian", "Generator",
     "align_generators", "ShapedAmplitude", "LockedAmplitude",
     "ComplexAmplitude", "CustomAmplitude",
