@@ -11,6 +11,7 @@ assertions; a failure of any assert fails the test through the exit
 code.
 """
 
+import os
 import pathlib
 import subprocess
 import sys
@@ -29,10 +30,18 @@ def test_examples_present():
     "script", EXAMPLES, ids=[p.stem for p in EXAMPLES]
 )
 def test_example_runs(script):
+    # prepend the repo root so the scripts run even without the
+    # editable install (running a script by path puts only the
+    # SCRIPT's directory on sys.path, not the cwd)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(EXAMPLES_DIR.parent)]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
     proc = subprocess.run(
         [sys.executable, str(script)],
         capture_output=True, text=True, timeout=900,
-        cwd=str(EXAMPLES_DIR.parent),
+        cwd=str(EXAMPLES_DIR.parent), env=env,
     )
     assert proc.returncode == 0, (
         f"{script.name} failed (rc={proc.returncode}):\n"
