@@ -19,11 +19,25 @@ from .workspace import GrapeWrk
 __all__ = ["optimize", "optimize_problem", "run_optimizer"]
 
 
-def optimize_problem(problem, **updates):
+def optimize_problem(problem, method="grape", **updates):
     """Optimize a :class:`~grape_tpu.trajectory.ControlProblem`
-    (``QuantumControl.optimize(problem; method=GRAPE)`` analog)."""
+    (``QuantumControl.optimize(problem; method=GRAPE)`` analog;
+    ``method="krotov"`` dispatches to :func:`grape_tpu.optimize_krotov`
+    — the framework-level method selection of the reference ecosystem,
+    ``/root/reference/src/optimize.jl:63-68``)."""
     kwargs = dict(problem.kwargs)
     kwargs.update(updates)
+    method_l = str(method).lower()
+    if method_l == "krotov":
+        from .krotov import optimize_krotov
+
+        return optimize_krotov(problem.trajectories, problem.tlist,
+                               **kwargs)
+    if method_l != "grape":
+        raise ValueError(
+            f"Unknown optimization method {method!r} "
+            "(supported: 'grape', 'krotov')"
+        )
     return optimize(problem.trajectories, problem.tlist, **kwargs)
 
 

@@ -162,12 +162,15 @@ def test_krotov_ensemble_per_traj_generators():
 
     trajs = transmon_ensemble_trajectories(4, d=3, T=4.0)
     tlist = np.linspace(0.0, 4.0, 41)
+    Js = []
     res = optimize_krotov(
         trajs, tlist, J_T=J_T_sm, lambda_a=0.5, iter_stop=12,
+        callback=lambda r, i: Js.append(r.J_T),
         print_iters=False, rethrow_exceptions=True,
     )
-    assert res.J_T < 0.5 * res.records[0][0] if res.records else True
     assert np.isfinite(res.J_T)
+    assert res.J_T < 0.5 * Js[0]  # halves the guess infidelity
+    assert all(b <= a + 1e-12 for a, b in zip(Js, Js[1:])), Js
 
 
 def test_krotov_rejects_state_running_cost(tls_setup):
@@ -202,3 +205,21 @@ def test_krotov_exception_capture(tls_setup):
             callback=bad_cb, print_iters=False,
             rethrow_exceptions=True,
         )
+
+
+def test_optimize_problem_method_dispatch(tls_setup):
+    """Framework-level method selection
+    (``QuantumControl.optimize(problem; method=...)``,
+    ``/root/reference/src/optimize.jl:63-68``)."""
+    from grape_tpu import ControlProblem, optimize_problem
+
+    trajectories, tlist = tls_setup
+    problem = ControlProblem(trajectories, tlist, J_T=J_T_sm)
+    res = optimize_problem(
+        problem, method="krotov", lambda_a=2.0, iter_stop=2,
+        print_iters=False, rethrow_exceptions=True,
+    )
+    assert isinstance(res, KrotovResult)
+    assert res.iter == 2
+    with pytest.raises(ValueError, match="Unknown optimization method"):
+        optimize_problem(problem, method="qaoa")
