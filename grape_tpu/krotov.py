@@ -182,6 +182,10 @@ def optimize_krotov(
     for k in ("prop_method", "fw_prop_method", "bw_prop_method",
               "grad_prop_method"):
         compile_kwargs.pop(k, None)
+    # the sweep consumes the full forward storage (χ(t_n) against every
+    # ψ(t_n)); the O(√N_T) recompute mode is a GRAPE-path feature
+    compile_kwargs.pop("storage_mode", None)
+    compile_kwargs.pop("storage_segments", None)
     cp = compile_problem(
         trajectories, tlist, use_pallas=False, **compile_kwargs
     )
