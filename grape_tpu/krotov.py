@@ -301,7 +301,7 @@ def optimize_krotov(
                 print(f"{i:6d}   {J_new:.2e}   {dJ:+.2e}     "
                       f"{secs:.1f}")
             record(i, J_new, dJ, secs)
-            if dJ > 0:
+            if dJ > 1e-12 * max(1.0, abs(J_old)):  # above fp noise
                 import warnings
                 warnings.warn(
                     f"Krotov iteration {i} increased J_T by {dJ:.2e}: "

@@ -223,3 +223,22 @@ def test_optimize_problem_method_dispatch(tls_setup):
     assert res.iter == 2
     with pytest.raises(ValueError, match="Unknown optimization method"):
         optimize_problem(problem, method="qaoa")
+
+
+def test_krotov_shared_generator_gate():
+    """Shared-generator gate problem (K=4 tomography-complete basis
+    states under ONE generator, 2 controls): the broadcast/shared fast
+    path of the sweep (the reference's gate-optimization pattern,
+    ``/root/reference/test/test_lbfgsb_saddle_point.jl``)."""
+    from grape_tpu.models import tls_xgate_problem
+
+    problem = tls_xgate_problem(n_steps=200)
+    Js = []
+    res = optimize_krotov(
+        problem.trajectories, problem.tlist, J_T=J_T_sm,
+        lambda_a=1.0, iter_stop=15,
+        callback=lambda r, i: Js.append(r.J_T),
+        print_iters=False, rethrow_exceptions=True,
+    )
+    assert res.J_T < 0.05, res.J_T
+    assert all(b <= a + 1e-12 for a, b in zip(Js, Js[1:])), Js
