@@ -1425,12 +1425,14 @@ def _pallas_cheby_mode(cp: CompiledProblem, pd_dir):
       "Ran out of memory in memory space vmem … on stack"; d=256
       compiles and wins 2.1×.
     - ``"stream"`` (``cheby_scan_pallas_stream``): past the resident
-      budget, the T+1 operator planes stream per STEP into an
-      accumulated VMEM H_n (≈10 live planes: 2 accumulation + 4
-      double-buffered fetch + matvec temporaries; normalization fused
-      into the matvec, no transpose/identity planes), still removing
-      the XLA scan's per-matvec H_n re-streaming (~(n_c+T+2)/(T+1)×
-      traffic).
+      budget, the T+1 operator planes stream per STEP — in (d/R, d)
+      row blocks — into an accumulated VMEM H_n, still removing the
+      XLA scan's per-matvec H_n re-streaming (~(n_c+T+2)/(T+1)×
+      traffic).  Total kernel VMEM (windows + H_n scratch + the
+      matvec's ref-read temporaries) ≈ 12 d² f32 planes — measured
+      46.8 MB at d=1024 — against the kernel's raised 100 MB cap
+      (``CompilerParams(vmem_limit_bytes=...)``; the 16 MB default
+      scoped limit rejects even the windows+scratch at this size).
 
     Returns ``None`` (XLA scan), ``"resident"``, or ``"stream"``.
     Both modes need the per-step coefficient/Chebyshev tables in SMEM
@@ -1456,7 +1458,10 @@ def _pallas_cheby_mode(cp: CompiledProblem, pd_dir):
         return None
     if 4 * cp.dim * cp.dim * (2 * T_terms + 6) <= 40 * 1024**2:
         return "resident"
-    if 4 * cp.dim * cp.dim * 10 <= 48 * 1024**2:
+    from .ops.pallas_prop import cheby_stream_row_blocks
+
+    R = cheby_stream_row_blocks(cp.dim)
+    if R is not None and 12 * 4 * cp.dim * cp.dim <= 100 * 1024**2:
         return "stream"
     return None
 

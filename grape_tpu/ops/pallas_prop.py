@@ -1050,65 +1050,89 @@ def _dot_nt(a, b):
     )
 
 
+def _dot_tt(a, b):
+    """``a @ b.T`` contracting last dim with last dim via dot_general —
+    again without materializing the transposed plane."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PREC,
+    )
+
+
 def _cheby_kernel_stream(
     coeffs_ref, tabr_ref, tabi_ref, ph_ref,  # scalar-prefetch (SMEM)
     planr_ref, plani_ref, psi0r_ref, psi0i_ref,
     outr_ref, outi_ref,
     psir_ref, psii_ref, haccr_ref, hacci_ref,  # scratch
-    *, n_terms, n_cheby, n_steps, shift, dE, adjoint,
+    *, n_terms, n_cheby, n_steps, shift, dE, adjoint, row_blocks,
 ):
     """Streaming-operator Chebyshev scan step (see
-    ``cheby_scan_pallas_stream``).  Grid ``(N_T, T+1)``, inner axis
-    streaming ONE (d, d) operator plane per iteration into ``H_n``
-    accumulation scratch; the last inner iteration runs the whole
-    ``n_cheby``-term recursion from the VMEM-resident accumulated
+    ``cheby_scan_pallas_stream``).  Grid ``(N_T, (T+1)*R)``: the inner
+    axis streams one ``(d/R, d)`` ROW BLOCK of one operator plane per
+    iteration into the ``H_n`` accumulation scratch (small blocks keep
+    the double-buffered fetch windows inside the Mosaic 16 MB
+    scoped-vmem budget — windows + scratch are what count against it;
+    kernel-body temporaries do not).  The last inner iteration runs the
+    whole ``n_cheby``-term recursion from the accumulated VMEM-resident
     ``H_n``.  The spectral normalization ``(2H − shift·I)/dE`` is fused
     into the matvec (``w = (2/dE)·Hv − (shift/dE)·v``) so neither the
-    shifted matrix nor an identity plane is ever materialized, and the
-    adjoint applies ``conj(H)`` by flipping the contraction side instead
-    of materializing ``H.T`` — together that caps resident VMEM at
-    ~6 planes regardless of the number of control terms."""
+    shifted matrix nor an identity plane is materialized, and both
+    contraction directions use ``dot_general`` dimension numbers
+    instead of materialized transposes."""
+    R = row_blocks
     g = pl.program_id(0)
-    t = pl.program_id(1)
+    s = pl.program_id(1)
+    t = s // R
+    q = s % R
     n = (n_steps - 1 - g) if adjoint else g
+    br = haccr_ref.shape[0] // R
 
-    @pl.when((g == 0) & (t == 0))
+    @pl.when((g == 0) & (s == 0))
     def _():
         psir_ref[...] = psi0r_ref[...]
         psii_ref[...] = psi0i_ref[...]
 
+    rows = pl.ds(q * br, br)
+
     @pl.when(t == 0)
     def _():
-        haccr_ref[...] = planr_ref[0]
-        hacci_ref[...] = plani_ref[0]
+        haccr_ref[rows, :] = planr_ref[0, 0]
+        hacci_ref[rows, :] = plani_ref[0, 0]
 
     @pl.when(t > 0)
     def _():
         c = coeffs_ref[n, jnp.maximum(t - 1, 0)]
-        haccr_ref[...] = haccr_ref[...] + c * planr_ref[0]
-        hacci_ref[...] = hacci_ref[...] + c * plani_ref[0]
+        haccr_ref[rows, :] = haccr_ref[rows, :] + c * planr_ref[0, 0]
+        hacci_ref[rows, :] = hacci_ref[rows, :] + c * plani_ref[0, 0]
 
-    @pl.when(t == n_terms)
+    @pl.when(s == (n_terms + 1) * R - 1)
     def _():
-        hr = haccr_ref[...]
-        hi = hacci_ref[...]
         two_inv = np.float32(2.0 / dE)
         sh = np.float32(shift / dE)
 
+        # 4-dot complex matvec (NOT Karatsuba — the (hr ± hi)
+        # combination plane is a 4 MB body temporary at d=1024 that
+        # counts against the scoped-vmem limit, while the extra dot on
+        # a thin (K, d) operand costs nothing) with every dot a NATIVE
+        # a@b contraction: last-×-last dot_general lowers through a
+        # materialized transpose plane (measured 46.8 MB stack), so the
+        # wrapper streams H^T planes for the forward direction instead.
         if adjoint:
-            # w = v @ conj(H): contract with H's first axis, negate hi
+            # hacc holds H; w = v @ conj(H) = v @ (hr − i·hi)
             def hv(vr, vi):
-                t1 = _dot_nt(vr, hr)
-                t2 = _dot_nt(vi, hi)
-                t3 = _dot_nt(vr + vi, hr - hi)
-                return t1 + t2, t3 - t1 + t2
+                wr = (_dot_nt(vr, haccr_ref[...])
+                      + _dot_nt(vi, hacci_ref[...]))
+                wi = (_dot_nt(vi, haccr_ref[...])
+                      - _dot_nt(vr, hacci_ref[...]))
+                return wr, wi
         else:
-            # w = v @ H^T (row form of H @ v)
+            # hacc holds H^T; w = v @ H^T (row form of H @ v)
             def hv(vr, vi):
-                t1 = _dot(vr, hr.T)
-                t2 = _dot(vi, hi.T)
-                t3 = _dot(vr + vi, (hr + hi).T)
-                return t1 - t2, t3 - t1 - t2
+                wr = (_dot_nt(vr, haccr_ref[...])
+                      - _dot_nt(vi, hacci_ref[...]))
+                wi = (_dot_nt(vr, hacci_ref[...])
+                      + _dot_nt(vi, haccr_ref[...]))
+                return wr, wi
 
         def hnorm(vr, vi):
             wr, wi = hv(vr, vi)
@@ -1154,23 +1178,36 @@ def _cheby_kernel_stream(
             outi_ref[0] = vi
 
 
+def cheby_stream_row_blocks(d, window_budget=6 * 1024**2):
+    """Row-block count R for the streaming cheby kernel: the
+    double-buffered fetch windows (``16·d²/R`` bytes) must fit the
+    window budget, with ``d % R == 0``.  Returns None if no R ≤ 16
+    works (operator too large for the streaming design)."""
+    for R in (1, 2, 4, 8, 16):
+        if d % R == 0 and 16 * d * d // R <= window_budget:
+            return R
+    return None
+
+
 def cheby_scan_pallas_stream(
     H0, ops, coeffs, tab, ph, shift, dE, psi0, adjoint=False,
     interpret=False,
 ):
     """Chebyshev propagation scan with per-step STREAMED operator planes
     (the d ≥ ~512 regime where the resident kernel's ``2T+6`` planes
-    exceed the VMEM/stack budget; same call contract as
+    exceed the Mosaic scoped-vmem budget; same call contract as
     :func:`cheby_scan_pallas_shared`).
 
     Per step the kernel streams the ``T+1`` operator planes from HBM
-    once (inner grid axis, Pallas double-buffers the fetch under the
-    accumulate), then runs the full ``n_cheby``-term recursion from the
-    accumulated VMEM-resident ``H_n`` — vs the XLA scan's
-    ``~n_cheby + T + 2`` plane-transfers per step (it re-streams
-    ``H_n`` for every recursion matvec).  At d=1024 / T=4 / n_cheby≈30
-    that is a ~6× HBM-traffic reduction with ~6 resident planes
-    (~24 MB) instead of the resident kernel's 58.7 MB.
+    once, in ``(d/R, d)`` row blocks (inner grid axis; Pallas
+    double-buffers the fetch under the accumulate), then runs the full
+    ``n_cheby``-term recursion from the accumulated VMEM-resident
+    ``H_n`` — vs the XLA scan's ``~n_cheby + T + 2`` plane-transfers
+    per step (it re-streams ``H_n`` for every recursion matvec).  At
+    d=1024 / T=4 / n_cheby≈30 that is a ~6× HBM-traffic reduction.
+    VMEM accounting (the scoped 16 MB limit counts fetch windows +
+    scratch, NOT body temporaries — measured): H_n scratch ``8·d²`` +
+    windows ``16·d²/R`` ≤ 12.1 MB at d=1024, R=4.
 
     Returns: (N_T, K, d) complex64 — states AFTER each step (forward)
     or the χ trajectory ``chis[n] = χ(t_{n+1})`` (adjoint).
@@ -1180,10 +1217,19 @@ def cheby_scan_pallas_stream(
     N_T = coeffs.shape[0]
     n_cheby = int(np.asarray(tab).shape[1])
     assert n_cheby >= 2
+    R = cheby_stream_row_blocks(d)
+    assert R is not None, f"no row-block count fits d={d}"
+    br = d // R
     f32 = jnp.float32
     planes = jnp.concatenate(
         [jnp.asarray(H0)[None], jnp.asarray(ops)], axis=0
     )  # (T+1, d, d)
+    if not adjoint:
+        # stream H^T so the kernel's matvec is a native a@b contraction
+        # (one-time XLA transpose of a constant, amortized in HBM)
+        planes = jnp.swapaxes(planes, -1, -2)
+    # (T+1, R, br, d): one row block per inner grid iteration
+    planes = planes.reshape(T + 1, R, br, d)
     planr = jnp.real(planes).astype(f32)
     plani = jnp.imag(planes).astype(f32)
     psi0r = jnp.real(jnp.asarray(psi0)).astype(f32)
@@ -1200,19 +1246,21 @@ def cheby_scan_pallas_stream(
     kernel = functools.partial(
         _cheby_kernel_stream, n_terms=T, n_cheby=n_cheby, n_steps=N_T,
         shift=float(shift), dE=float(dE), adjoint=bool(adjoint),
+        row_blocks=R,
     )
     if adjoint:
-        out_idx = lambda g, t, *_: (N_T - 1 - g, 0, 0)  # noqa: E731
+        out_idx = lambda g, s, *_: (N_T - 1 - g, 0, 0)  # noqa: E731
     else:
-        out_idx = lambda g, t, *_: (g, 0, 0)  # noqa: E731
+        out_idx = lambda g, s, *_: (g, 0, 0)  # noqa: E731
+    plane_idx = lambda g, s, *_: (s // R, s % R, 0, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(N_T, T + 1),
+        grid=(N_T, (T + 1) * R),
         in_specs=[
-            pl.BlockSpec((1, d, d), lambda g, t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, d, d), lambda g, t, *_: (t, 0, 0)),
-            pl.BlockSpec((K, d), lambda g, t, *_: (0, 0)),
-            pl.BlockSpec((K, d), lambda g, t, *_: (0, 0)),
+            pl.BlockSpec((1, 1, br, d), plane_idx),
+            pl.BlockSpec((1, 1, br, d), plane_idx),
+            pl.BlockSpec((K, d), lambda g, s, *_: (0, 0)),
+            pl.BlockSpec((K, d), lambda g, s, *_: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, K, d), out_idx),
@@ -1225,6 +1273,11 @@ def cheby_scan_pallas_stream(
             pltpu.VMEM((d, d), f32),
         ],
     )
+    # the default Mosaic scoped-vmem limit is 16 MB; windows + H_n
+    # scratch + the matvec's ref-read temporaries need ~47 MB at d=1024
+    # (measured) — well within the chip's 128 MB VMEM, so raise the cap
+    # for this kernel only
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     outr, outi = pl.pallas_call(
         kernel,
         out_shape=[
@@ -1232,6 +1285,7 @@ def cheby_scan_pallas_stream(
             jax.ShapeDtypeStruct((N_T, K, d), f32),
         ],
         grid_spec=grid_spec,
+        compiler_params=params,
         interpret=interpret,
     )(coeffs, tabr, tabi, ph2, planr, plani, psi0r, psi0i)
     return (outr + 1j * outi).astype(jnp.complex64)
