@@ -1050,15 +1050,6 @@ def _dot_nt(a, b):
     )
 
 
-def _dot_tt(a, b):
-    """``a @ b.T`` contracting last dim with last dim via dot_general —
-    again without materializing the transposed plane."""
-    return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC,
-    )
-
-
 def _cheby_kernel_stream(
     coeffs_ref, tabr_ref, tabi_ref, ph_ref,  # scalar-prefetch (SMEM)
     planr_ref, plani_ref, psi0r_ref, psi0i_ref,
