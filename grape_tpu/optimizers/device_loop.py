@@ -412,12 +412,24 @@ class DeviceLoopBackend:
                 # eventful chunk (mutation/envelope): back to exact
                 # per-iteration semantics; clean chunk: amortize harder.
                 # Duration guard: the axon platform kills single
-                # executions past ~1 min (CLAUDE.md), so never grow a
-                # chunk whose doubled duration could cross ~45 s (a
+                # executions past ~1 min (CLAUDE.md), so never grow to a
+                # chunk whose projected duration could cross ~45 s (a
                 # line-search-heavy iteration can triple a chunk's fg
-                # count, hence the conservative bound).
+                # count, hence the conservative 1.5× margin on the
+                # per-iteration estimate).  When the FULL chunk size
+                # projects safely under the limit, jump straight to it:
+                # every distinct chunk LENGTH is a separate compiled
+                # program whose first execution pays the platform's
+                # per-program queue (~4-30 s) — the 1→2→4→8→16 ladder
+                # paid that five times (measured: the out-of-the-box
+                # cz_auto_iters rate collapsed to 3.3 it/s vs the fixed
+                # 16-chunk loop's 45.8), the 1→16 jump pays it twice.
                 if eventful:
                     cur_iters = 1
-                elif not stopped and 2 * chunk_secs < 45.0:
-                    cur_iters = min(2 * cur_iters, self.chunk_iters)
+                elif not stopped:
+                    per_iter = chunk_secs / max(cur_iters, 1)
+                    if 1.5 * per_iter * self.chunk_iters < 45.0:
+                        cur_iters = self.chunk_iters
+                    elif 2 * chunk_secs < 45.0:
+                        cur_iters = min(2 * cur_iters, self.chunk_iters)
         return None
